@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import (  # noqa: E402
+    kmer_count,
+    total_kmers,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's k-mer query (map → group-count → sink
+    filter count>=2, src/main.cpp:55-73) at k=4 over sf0.001 documents."""
+    return kmer_count(_docs(spark, "/root/testdata/sf0.001"), k=4, min_count=2)
+
+
+# --- query inventory -------------------------------------------------------
+
+
+def _q_kmer_count_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmer_count(_docs(spark, sf_dir), k=4, min_count=2)
+
+
+def _q_kmer_count_k8_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmer_count(_docs(spark, sf_dir), k=8, min_count=1)
+
+
+def _q_kmer_total_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return total_kmers(_docs(spark, sf_dir), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kmer_count_k4": _q_kmer_count_k4,
+        "kmer_count_k8_all": _q_kmer_count_k8_all,
+        "kmer_total_k5": _q_kmer_total_k5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kmer_count_k4": """
+            SELECT word, count(*) AS cnt
+            FROM (
+                SELECT substr(text, unnest(generate_series(1, length(text) - 3)), 4) AS word
+                FROM documents WHERE length(text) >= 4
+            )
+            GROUP BY word
+            HAVING count(*) >= 2
+        """,
+        "kmer_count_k8_all": """
+            SELECT word, count(*) AS cnt
+            FROM (
+                SELECT substr(text, unnest(generate_series(1, length(text) - 7)), 8) AS word
+                FROM documents WHERE length(text) >= 8
+            )
+            GROUP BY word
+        """,
+        "kmer_total_k5": """
+            SELECT CAST(coalesce(sum(greatest(length(text) - 4, 0)), 0) AS BIGINT) AS total
+            FROM documents
+        """,
+    }

@@ -1,0 +1,67 @@
+"""Benchmark harness — reproduces the reference's grid shape
+(runprogram.sh: warm-up runs excluded from metrics, one row per point)
+over this engine's headline queries.
+
+Runs every query in ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with a full materialization via the ``noop``
+sink (all partitions computed, nothing collected to the driver) —
+the closest analog of the reference's kernel-time bracket
+(src/helper.h:124-196) without driver-side bias.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # JVM/codegen warm-up, excluded from metrics (runprogram.sh:29-41)
+    warm = next(iter(qs.values()))
+    force(warm(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        start = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

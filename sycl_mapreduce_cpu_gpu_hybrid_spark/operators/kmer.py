@@ -1,0 +1,144 @@
+"""The reference's one real query, Spark-first: k-mer counting.
+
+Reference semantics being reproduced (citations into /root/reference):
+- Map: for every in-document window of length k emit (word, 1) —
+  src/GPU_Module/GPU.cpp:32-45, src/CPU_Module/CPU.cpp:32-50.
+- Windows never span documents: the kernels reject windows containing
+  the ``'\\0'`` file separator (src/GPU_Module/GPU.cpp:36-40). Spark
+  rows keep per-document boundaries natively, so this holds by
+  construction.
+- Reduce: sort + segmented sum == groupBy(word).count()
+  (src/GPU_Module/GPU.cpp:61-111); Catalyst picks hash aggregation with
+  map-side partial aggregation, which replaces the reference's
+  sort+atomic-merge scheme.
+- Sink filter: the production sink emits only count >= 2, deduplicated
+  (src/main.cpp:55-73, filter at :65) — exposed as ``min_count``.
+- Degenerate input: doc shorter than k produces no windows
+  (src/main.cpp:133 clamps setsize to 0).
+
+Scale design (100 TB posture): a naive
+``explode(transform(sequence(1, len-k+1), i -> substring(text,i,k)))``
+materializes one array element per character of the document in a single
+row buffer — a 10 MB document becomes a ~10M-element array. We instead
+explode in two levels: first into fixed-size overlapping *slices*
+(bounded memory per row regardless of document size), then into k-mers
+within each slice. Both levels are whole-stage-codegen'd JVM expressions
+(no Python in the hot path), and the aggregation is an ordinary
+shuffle-based hash agg that spills — so the operator survives documents
+and corpora far bigger than executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAXK = 64  # reference fixed-width key cap, src/GPU_Module/GPU.h:15
+DEFAULT_SLICE = 4096  # k-mer starts per slice; bounds per-row array size
+
+
+def _validate_k(k: int, enforce_reference_cap: bool) -> None:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if enforce_reference_cap and k > MAXK:
+        raise ValueError(
+            f"k={k} exceeds the reference's MAXK={MAXK} "
+            "(src/GPU_Module/GPU.h:15); pass enforce_reference_cap=False to lift"
+        )
+
+
+def kmer_explode(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    slice_size: int = DEFAULT_SLICE,
+    enforce_reference_cap: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Emit one row per k-mer occurrence (the Map phase).
+
+    Two-level explode: slices of ``slice_size`` starts (each slice is
+    ``slice_size + k - 1`` chars, overlapping by ``k - 1`` so no window
+    is lost or duplicated at slice boundaries), then k-mers per slice.
+    """
+    _validate_k(k, enforce_reference_cap)
+    carried = [F.col(c) for c in (keep_cols or [])]
+    slices = (
+        docs.where(F.length(text_col).isNotNull() & (F.length(text_col) >= k))
+        .select(
+            *carried,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}), {slice_size}),"
+                    f" s -> substring({text_col}, s, {slice_size + k - 1}))"
+                )
+            ).alias("_slice"),
+        )
+        .where(F.length("_slice") >= k)
+    )
+    return slices.select(
+        *carried,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_slice) - {k} + 1),"
+                f" i -> substring(_slice, i, {k}))"
+            )
+        ).alias("word"),
+    )
+
+
+def kmer_count(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    slice_size: int = DEFAULT_SLICE,
+    enforce_reference_cap: bool = True,
+) -> DataFrame:
+    """k-mer occurrence counts across the corpus: DataFrame[word, cnt].
+
+    ``min_count=2`` reproduces the reference sink filter
+    (src/main.cpp:65). The groupBy carries map-side partial aggregation,
+    so each shuffle partition receives pre-combined (word, partial cnt)
+    pairs — the Spark-native equivalent of the reference's
+    atomic-merge reduce (src/GPU_Module/GPU.cpp:100-108).
+    """
+    kmers = kmer_explode(docs, k, text_col, slice_size, enforce_reference_cap)
+    counts = kmers.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= min_count)
+    return counts
+
+
+def total_kmers(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Scalar total of k-mer occurrences: sum over docs of
+    max(0, len - k + 1) — the reference's ``compute_unique_total``
+    (src/main.cpp:47-53). Computed without exploding (O(docs), not
+    O(chars)); equals sum(cnt) over :func:`kmer_count` with min_count=1.
+    """
+    per_doc = F.greatest(F.length(text_col) - F.lit(k) + F.lit(1), F.lit(0))
+    return docs.agg(F.coalesce(F.sum(per_doc.cast("long")), F.lit(0).cast("long")).alias("total"))
+
+
+def kmer_sink(
+    counts: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    min_count: int = 2,
+) -> None:
+    """Filtered dedup sink — reference print_mapped_counts
+    (src/main.cpp:55-73): emit only count >= min_count rows. The
+    reference additionally dedups via an unordered_set; groupBy output
+    is already unique per word.
+    """
+    (
+        counts.where(F.col("cnt") >= min_count)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def window_starts(text: Column, k: int) -> Column:
+    """Number of valid window starts in a document (0 if len < k)."""
+    return F.greatest(F.length(text) - F.lit(k) + F.lit(1), F.lit(0))

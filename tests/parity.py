@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's t2 correctness gate: run each
+``__spark_entry__.queries()`` entry AND its ``oracle_sql()`` through
+DuckDB on the same parquet, compare row count, column names, and an
+order-insensitive value hash. Used by tests and as a CLI:
+
+    python tests/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import TABLE_NAMES
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style value hash: floats normalized to a fixed repr
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_signature(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sorted(cols), digest
+
+
+def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str):
+    sdf = qfn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    s_sig = frame_signature(scols, srows)
+    if sql is None:
+        return {"name": name, "mode": "rows_only", "rows": s_sig[0], "ok": s_sig[0] >= 0}
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    o_sig = frame_signature(ocols, orows)
+    ok = s_sig == o_sig
+    out = {
+        "name": name,
+        "mode": "oracle",
+        "rows": s_sig[0],
+        "oracle_rows": o_sig[0],
+        "cols": s_sig[1],
+        "oracle_cols": o_sig[1],
+        "hash_match": s_sig[2] == o_sig[2],
+        "ok": ok,
+    }
+    if not ok and s_sig[0] == o_sig[0] and s_sig[1] == o_sig[1]:
+        # locate first differing rows for debugging
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        sl = sorted("\x01".join(_norm(r[i]) for i in order) for r in srows)
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        ol = sorted("\x01".join(_norm(r[i]) for i in oorder) for r in orows)
+        for a, b in zip(sl, ol):
+            if a != b:
+                out["first_diff"] = {"engine": a.split("\x01"), "oracle": b.split("\x01")}
+                break
+    return out
+
+
+def run(sf_dir: str = DEFAULT_SF, only: list[str] | None = None) -> list[dict]:
+    import __spark_entry__ as entrymod
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
+
+    spark = get_spark(app_name="parity", cpus=8, shuffle_partitions=8)
+    con = duckdb_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = []
+    for name, qfn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            results.append(compare_one(spark, con, name, qfn, oracles.get(name), sf_dir))
+        except Exception as exc:  # surface, keep going
+            results.append({"name": name, "ok": False, "error": str(exc)[:500]})
+    return results
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else DEFAULT_SF
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    res = run(sf_dir, only or None)
+    bad = [r for r in res if not r.get("ok")]
+    for r in res:
+        print(("PASS " if r.get("ok") else "FAIL ") + str(r))
+    print(f"\n{len(res) - len(bad)}/{len(res)} queries match")
+    sys.exit(1 if bad else 0)
