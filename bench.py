@@ -40,12 +40,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
-    # JVM/codegen warm-up, excluded from metrics (runprogram.sh:29-41)
-    warm = next(iter(qs.values()))
-    force(warm(spark, sf_dir))
-
+    # per-query warm-up excluded from metrics (runprogram.sh:29-41:
+    # the reference excludes JIT warm-up per measurement point) — each
+    # query's first run carries its own plan-compilation cost
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        force(fn(spark, sf_dir))  # warm-up: codegen + shuffle setup
         start = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 4)

@@ -22,10 +22,12 @@ materializes one array element per character of the document in a single
 row buffer — a 10 MB document becomes a ~10M-element array. We instead
 explode in two levels: first into fixed-size overlapping *slices*
 (bounded memory per row regardless of document size), then into k-mers
-within each slice. Both levels are whole-stage-codegen'd JVM expressions
-(no Python in the hot path), and the aggregation is an ordinary
-shuffle-based hash agg that spills — so the operator survives documents
-and corpora far bigger than executor memory.
+within each slice. Both levels stay JVM-side (no Python in the hot
+path); note the ``transform`` lambdas are interpreted higher-order
+functions, not whole-stage codegen — a constant-factor cost, paid once
+per character. The aggregation is an ordinary shuffle-based hash agg
+that spills — so the operator survives documents and corpora far bigger
+than executor memory.
 """
 
 from __future__ import annotations
@@ -47,6 +49,45 @@ def _validate_k(k: int, enforce_reference_cap: bool) -> None:
         )
 
 
+# Spread the map phase across cores only when the corpus is big enough
+# that per-task compute (~1M chars/s/core for the interpreted window
+# extract) dominates per-task overhead (~10-50ms). Below this, a single
+# task is strictly faster — measured at sf0.1 (1.5M chars): 1 task
+# ≈ 1.7s stable vs 32 tasks ≈ 9-14s (scheduling + contention noise).
+SPREAD_MIN_CHARS = 8_000_000
+# parquet on-disk → in-memory text decompression fudge for plan stats
+_DECOMPRESS_FUDGE = 3
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame (no job run)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM-backed or API change: fall back to "unknown"
+        return None
+
+
+def _should_spread(docs: DataFrame) -> tuple[bool, int]:
+    """Decide whether the expanding Generate needs a repartition for CPU
+    parallelism, and to how many partitions.
+
+    The explode feeds a map-side partial agg, which *streams* — exploded
+    rows are never materialized or shuffled in full — so this is purely
+    a CPU-parallelism decision, not a memory one. At 100 TB the parquet
+    scan already yields >= cores partitions and this is a no-op; the rule
+    exists for mid-size inputs that arrive as a handful of files.
+    """
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    scan_parts = docs.rdd.getNumPartitions()
+    if scan_parts >= target:
+        return False, scan_parts
+    size = _plan_size_bytes(docs)
+    if size is not None and size * _DECOMPRESS_FUDGE < SPREAD_MIN_CHARS:
+        return False, scan_parts
+    return True, target
+
+
 def kmer_explode(
     docs: DataFrame,
     k: int,
@@ -60,8 +101,13 @@ def kmer_explode(
     Two-level explode: slices of ``slice_size`` starts (each slice is
     ``slice_size + k - 1`` chars, overlapping by ``k - 1`` so no window
     is lost or duplicated at slice boundaries), then k-mers per slice.
+    Both levels are JVM-side expressions (the Generate input is an
+    interpreted higher-order ``transform`` — not codegen'd, but never
+    Python); the aggregation downstream is an ordinary spillable
+    shuffle hash agg.
     """
     _validate_k(k, enforce_reference_cap)
+    spread, n_parts = _should_spread(docs)
     carried = [F.col(c) for c in (keep_cols or [])]
     slices = (
         docs.where(F.length(text_col).isNotNull() & (F.length(text_col) >= k))
@@ -76,6 +122,11 @@ def kmer_explode(
         )
         .where(F.length("_slice") >= k)
     )
+    if spread:
+        # repartition at the *slice* level, not the doc level: a single
+        # giant document fans out across cores too (its slices scatter),
+        # at the cost of shuffling ~corpus-size bytes once.
+        slices = slices.repartition(n_parts)
     return slices.select(
         *carried,
         F.explode(

@@ -44,24 +44,35 @@ def diff_keyed(
     silence == pass, i.e. an empty result).
     """
     o = oracle.select(
-        *key_cols, *[F.col(c).alias(f"oracle_{c}") for c in value_cols]
+        *key_cols,
+        F.lit(True).alias("_in_oracle"),
+        *[F.col(c).alias(f"oracle_{c}") for c in value_cols],
     )
     e = engine.select(
-        *key_cols, *[F.col(c).alias(f"engine_{c}") for c in value_cols]
+        *key_cols,
+        F.lit(True).alias("_in_engine"),
+        *[F.col(c).alias(f"engine_{c}") for c in value_cols],
     )
     joined = o.join(e, on=key_cols, how="full_outer")
-    missing_in_engine = F.col(f"engine_{value_cols[0]}").isNull()
-    missing_in_oracle = F.col(f"oracle_{value_cols[0]}").isNull()
+    # presence markers, not value-NULL sniffing: a legitimately NULL engine
+    # value must not read as a missing row
+    missing_in_engine = F.col("_in_engine").isNull()
+    missing_in_oracle = F.col("_in_oracle").isNull()
     mismatch = F.lit(False)
     for c in value_cols:
-        mismatch = mismatch | (F.col(f"oracle_{c}") != F.col(f"engine_{c}"))
+        # eqNullSafe: NULL vs non-NULL is a mismatch, NULL vs NULL is equal
+        mismatch = mismatch | ~F.col(f"oracle_{c}").eqNullSafe(F.col(f"engine_{c}"))
     status = (
         F.when(missing_in_engine & missing_in_oracle, F.lit("impossible"))
         .when(missing_in_engine, F.lit("missing_in_engine"))
         .when(missing_in_oracle, F.lit("missing_in_oracle"))
         .when(mismatch, F.lit("mismatch"))
     )
-    return joined.withColumn("status", status).where(F.col("status").isNotNull())
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .drop("_in_oracle", "_in_engine")
+    )
 
 
 def assert_matches(

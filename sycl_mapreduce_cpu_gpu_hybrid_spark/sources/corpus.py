@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 
 def strip_fasta(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Drop '>' header lines and strip CR/LF (modifier.sh:19:
-    ``grep -v "^>" | tr -d '\\n\\r'``)."""
-    return lines.where(~F.col(value_col).startswith(">")).select(
-        F.regexp_replace(F.col(value_col), r"[\r\n]", "").alias(value_col),
-        *[c for c in lines.columns if c != value_col],
+    ``grep -v "^>" | tr -d '\\n\\r'``). Input column order preserved."""
+    return lines.where(~F.col(value_col).startswith(">")).withColumn(
+        value_col, F.regexp_replace(F.col(value_col), r"[\r\n]", "")
     )
 
 
@@ -30,27 +29,28 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of text files into DataFrame[doc_id, text] —
     one row per file (src/helper.cpp:21-39), FASTA headers stripped.
 
-    Line-based read + groupBy(file) reassembly rather than
-    wholeTextFiles: keeps the scan splittable for very large files.
-    Line order within a file is preserved via the line offset.
+    ``wholetext`` reads each file as a single row, so in-file order is
+    preserved by construction (deterministic under task retry — unlike a
+    line-level read keyed by monotonically_increasing_id, whose
+    partition-indexed ids do not follow byte offsets when a large file
+    splits). The reference itself holds whole files in memory
+    (src/helper.cpp:25-36), so per-row size == file size matches its
+    contract; files are the unit of parallelism, as in the reference's
+    one-string-per-file corpus.
     """
-    lines = (
-        spark.read.text(path)
-        .select(
-            F.input_file_name().alias("doc_id"),
-            F.monotonically_increasing_id().alias("_line_id"),
-            F.col("value"),
-        )
-    )
-    kept = lines.where(~F.col("value").startswith(">"))
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("_line_id", "value"))), lambda s: s["value"])
-            ).alias("text")
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+?)(\.[^./]*)?$", 1
+            ).alias("doc_id"),
+            # modifier.sh:19 semantics: drop '>' header lines, then all CR/LF
+            F.regexp_replace(
+                F.regexp_replace(F.col("value"), r"(?m)^>[^\n]*\n?", ""),
+                r"[\r\n]",
+                "",
+            ).alias("text"),
         )
-        .select(F.regexp_extract("doc_id", r"([^/]+?)(\.[^./]*)?$", 1).alias("doc_id"), "text")
     )
 
 

@@ -57,7 +57,7 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str):
     srows = [tuple(r) for r in sdf.collect()]
     s_sig = frame_signature(scols, srows)
     if sql is None:
-        return {"name": name, "mode": "rows_only", "rows": s_sig[0], "ok": s_sig[0] >= 0}
+        return {"name": name, "mode": "rows_only", "rows": s_sig[0], "ok": s_sig[0] > 0}
     res = con.execute(sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
