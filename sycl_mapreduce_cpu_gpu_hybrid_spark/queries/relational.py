@@ -1,0 +1,553 @@
+"""M2 relational inventory (SURVEY.md §2.2-§2.7): projections/filters,
+sorts/top-k, aggregations (incl. distinct, rollup/cube/pivot), the join
+family, window functions, and set operations — all built-in DataFrame
+ops so Catalyst supplies pushdown, pruning, join selection, and AQE.
+
+Scale notes, encoded in the plans rather than comments where possible:
+- small dimensions (nation, region, band tables) are broadcast — no
+  shuffle of the fact side for those joins;
+- fact-fact joins (customer x orders) shuffle on their keys, which is
+  the correct 100 TB plan (hash-partitioned equi-join + AQE skew split);
+- top-k uses orderBy().limit(), which Spark plans as
+  TakeOrderedAndProject — per-partition heaps + a driver merge of k
+  rows, never a global sort;
+- double-typed aggregates are rounded in both engine and oracle so the
+  driver's value hash compares fixed reprs, not accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- §2.2 projections / filters / predicates -------------------------------
+
+
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down predicates + pruned projection + cast + computed col.
+    The filter and the 4-column read schema both reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_shipdate") >= F.lit("1998-01-01")))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            # round to 4: the price*(1-disc) product is exact on the
+            # 4-decimal grid, so neither engine faces a .5 tie (at 2
+            # decimals the ties resolve differently: Spark rounds the
+            # shortest decimal repr, DuckDB the raw binary double)
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+def predicates_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / LIKE / BETWEEN / null-test predicate family on part."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_name").like("%gear%")
+            & F.col("p_size").between(10, 40)
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+
+
+def case_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif scalar conditioning on customer."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_ex"
+        ),
+    )
+
+
+# --- §2.4 sorts / limits / top-k -------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT n -> TakeOrderedAndProject (per-partition
+    heaps, k-row driver merge; no global sort at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with a deterministic total order + limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+    )
+
+
+# --- §2.3 aggregations ------------------------------------------------------
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate (sum/avg/count) — partial
+    (map-side) aggregation collapses the shuffle to |groups| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-31"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_supp"),
+        F.countDistinct("l_partkey").alias("distinct_part"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the at-scale replacement for exact
+    distinct. No oracle: sketch estimates are engine-specific
+    (rows-only check); the pytest bound asserts <2% relative error."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never value-discovery at
+    scale: that is an extra job over all data)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ["F", "O", "P"]],
+    )
+
+
+# --- §2.5 join family -------------------------------------------------------
+
+
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (shuffle hash-partitioned on the key) + agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with at least one 450k+ order. The probe
+    side never duplicates rows and only the key column crosses."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers none of whose orders exceed 400k (every
+    synthetic customer has orders, so anti-join against the unfiltered
+    table would be vacuously empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_multi_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact x 3 dims with explicit broadcast() on every dim —
+    zero shuffles of lineitem before the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join: price-band dimension joined on an interval
+    predicate — broadcast nested loop over a 4-row build side, so the
+    non-equi condition never triggers a cartesian shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("under_10k", 0.0, 10_000.0),
+            ("mid", 10_000.0, 50_000.0),
+            ("high", 50_000.0, 90_000.0),
+            ("top", 90_000.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+
+
+# --- §2.6 window functions --------------------------------------------------
+
+
+def window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (partition, order) -> latest order per customer.
+    Deterministic tiebreak on o_orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: price delta between consecutive orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame aggregate (rows unbounded preceding..current)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+    )
+
+
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank top-3 parts by price within each brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.dense_rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "rk")
+    )
+
+
+# --- §2.7 set operations ----------------------------------------------------
+
+
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers with a pending order or a 450k+ one."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both an urgent and a low-priority order."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers in the 400-450k spend band only."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+QUERIES = {
+    "filter_project_cast": filter_project_cast,
+    "predicates_pack": predicates_pack,
+    "case_null_pack": case_null_pack,
+    "topk_orders": topk_orders,
+    "sort_multikey": sort_multikey,
+    "agg_pricing_summary": agg_pricing_summary,
+    "agg_minmax": agg_minmax,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_pivot": agg_pivot,
+    "join_inner_agg": join_inner_agg,
+    "join_left_count": join_left_count,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_multi_broadcast": join_multi_broadcast,
+    "join_range_band": join_range_band,
+    "window_latest_order": window_latest_order,
+    "window_lag_delta": window_lag_delta,
+    "window_running_sum": window_running_sum,
+    "window_rank_parts": window_rank_parts,
+    "setop_union": setop_union,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+}
+
+ORACLES = {
+    "filter_project_cast": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS INT) AS qty_int,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+    "predicates_pack": """
+        SELECT p_partkey, p_brand, p_type, p_size
+        FROM part
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+          AND p_name LIKE '%gear%'
+          AND p_size BETWEEN 10 AND 40
+          AND p_retailprice IS NOT NULL
+    """,
+    "case_null_pack": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_ex
+        FROM customer
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "sort_multikey": """
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+        FROM lineitem
+        ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_minmax": """
+        SELECT o_orderpriority,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_count_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS distinct_supp,
+               count(DISTINCT l_partkey) AS distinct_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "agg_pivot": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "join_inner_agg": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_left_count": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "join_multi_broadcast": """
+        SELECT r_name, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "join_range_band": """
+        SELECT band, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+        FROM lineitem
+        JOIN (VALUES ('under_10k', 0.0, 10000.0),
+                     ('mid', 10000.0, 50000.0),
+                     ('high', 50000.0, 90000.0),
+                     ('top', 90000.0, 1e9)) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band
+    """,
+    "window_latest_order": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "window_lag_delta": """
+        SELECT o_orderkey,
+               round(o_totalprice - lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        FROM orders
+    """,
+    "window_running_sum": """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+    """,
+    "window_rank_parts": """
+        SELECT p_brand, p_partkey, rk
+        FROM (
+            SELECT p_brand, p_partkey,
+                   dense_rank() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rk
+            FROM part
+        ) WHERE rk <= 3
+    """,
+    "setop_union": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+    "setop_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "setop_except": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+}

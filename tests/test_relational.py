@@ -1,0 +1,92 @@
+"""Physical-plan and semantics tests for the relational inventory.
+
+The parity harness (tests/parity.py) checks *values* against DuckDB;
+these tests check the *plans* are the ones we'd want at 100 TB:
+filters pushed to the scan, pruned read schemas, broadcast joins for
+small dims, TakeOrderedAndProject for top-k — plus semantics that the
+oracle can't see (approx-distinct error bound, partition invariance).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    df = relational.filter_project_cast(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # pruned read schema: only the 5 referenced columns, not all 11
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    plan = _plan(relational.join_multi_broadcast(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(relational.topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_band_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _plan(relational.join_range_band(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_plan_no_row_duplication(spark, sf_dir):
+    semi = _plan(relational.join_semi(spark, sf_dir))
+    anti = _plan(relational.join_anti(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_part"]
+        for r in relational.agg_approx_distinct(spark, sf_dir).collect()
+    }
+    for flag, ex in exact.items():
+        assert approx[flag] == pytest.approx(ex, rel=0.02)
+
+
+def test_agg_partition_invariance(spark, sf_dir):
+    """Reference invariant (SURVEY §5: device 1/2/3 agree) — results
+    must not depend on physical partitioning."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def summarize(df):
+        import pyspark.sql.functions as F
+
+        return sorted(
+            (r["l_returnflag"], r["n"], r["s"])
+            for r in df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("s"))
+            .collect()
+        )
+
+    assert summarize(li.repartition(1)) == summarize(li.repartition(64))
