@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
 
@@ -278,6 +279,24 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the same user's latest
+    purchase at-or-before it (operators/asof.py — one shuffle, no
+    inequality-join row explosion)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.round("value_asof", 2).alias("purchase_value"),
+    )
+
+
 # --- §2.6 window functions --------------------------------------------------
 
 
@@ -375,6 +394,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_multi_broadcast": join_multi_broadcast,
     "join_range_band": join_range_band,
+    "asof_last_purchase": asof_last_purchase,
     "window_latest_order": window_latest_order,
     "window_lag_delta": window_lag_delta,
     "window_running_sum": window_running_sum,
@@ -503,6 +523,12 @@ ORACLES = {
                      ('top', 90000.0, 1e9)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band
+    """,
+    "asof_last_purchase": """
+        SELECT l.event_id, r.ts AS purchase_ts, round(r.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
     """,
     "window_latest_order": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
