@@ -1,0 +1,303 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four tiers, all shuffle-bounded (never all-pairs):
+
+- exact_dedup: hash-groupBy on normalized text — one shuffle on a
+  16-byte key; the canonical first pass at any scale.
+- minhash_signatures / minhash_lsh_pairs: k-shingle (reusing the
+  k-mer Map kernel — shingles ARE k-mers, operators/kmer.py:50) ->
+  per-seed min-hash signature -> banded LSH. Candidate pairs come
+  from equal (band_idx, band_hash) buckets only, so the join degree
+  is bucket-bounded, with an explicit cap on pathological buckets.
+- simhash: 64-bit per-doc fingerprint via sign-of-weighted-bit-sums;
+  near-dups have small Hamming distance. Banded by 16-bit quarters
+  for bucketing (any pair within Hamming<=3 shares a quarter).
+- ngram_jaccard_pairs: exact verify stage — inverted shingle index
+  join with a document-frequency cap (stop-shingles dropped), so hot
+  shingles cannot explode the join.
+
+All hashing is xxhash64 (JVM built-in, seedable); no Python in any
+row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kmer import kmer_explode
+
+
+def normalize_text(col: F.Column | str) -> F.Column:
+    """Canonical text form for exact dedup: lowercase, trim, collapse
+    internal whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: representative (min id),
+    copy count, and the 128-bit content hash. GroupBy on md5 keeps the
+    shuffle key fixed-width regardless of document size."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 6, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct k-character shingles per document — the k-mer Map
+    kernel with the count semantics replaced by set semantics."""
+    return (
+        kmer_explode(
+            docs.select(id_col, text_col),
+            k=k,
+            text_col=text_col,
+            keep_cols=[id_col],
+            enforce_reference_cap=False,
+        )
+        .select(id_col, F.col("word").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 6,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``num_hashes`` min-over-
+    shingles xxhash64 values. One explode + one groupBy; the signature
+    build is ``num_hashes`` independent min aggregates, all map-side
+    combined, so the shuffle carries one row per doc."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, scored by
+    estimated Jaccard (fraction of equal signature components).
+
+    rows/bands r = num_hashes/bands; a pair with true Jaccard j
+    collides in some band with prob 1-(1-j^r)^bands (r=4, 16 bands:
+    j=0.7 -> ~99%, j=0.3 -> ~12%). Buckets larger than ``max_bucket``
+    are dropped (degenerate content — their pairs explode
+    quadratically and are near-certain boilerplate at scale).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col)
+
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(slice(signature, b * {r} + 1, {r}), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.struct(id_col, "signature")).alias("members")
+    )
+    small = buckets.where(
+        (F.size("members") >= 2) & (F.size("members") <= max_bucket)
+    )
+    # in-bucket pairs, deduplicated across bands by (a, b) distinct
+    pairs = (
+        small.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    f" o -> struct(least(m.{id_col}, o.{id_col}) AS a,"
+                    f" greatest(m.{id_col}, o.{id_col}) AS b,"
+                    " m.signature AS sig_a, o.signature AS sig_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = pairs.select(
+        "a",
+        "b",
+        (
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit i of the fingerprint
+    is the sign of sum over tokens of (+-1 per token-hash bit i).
+    Computed as 64 conditional-sum aggregates — one shuffle row per
+    doc, no Python."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    # assemble the fingerprint: set bit i where the sum is positive.
+    # bit 63 via two 62/1-bit shifts keeps the arithmetic in signed
+    # long range without overflow surprises.
+    expr = " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)" for i in range(63)
+    )
+    return bit_sums.select(
+        id_col,
+        (F.expr(expr) + F.expr("CASE WHEN _b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END")).alias(
+            "simhash"
+        ),
+    )
+
+
+def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    the XOR — JVM built-in)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each 16-bit quarter (a pair
+    within Hamming<=3 must agree on at least one quarter — pigeonhole),
+    then verify the full distance inside buckets only."""
+    fp = simhash(docs, text_col, id_col)
+    quarters = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), q -> (simhash >> (q * 16)) & 65535)"
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    buckets = quarters.groupBy("q_idx", "q_val").agg(
+        F.collect_list(F.struct(id_col, "simhash")).alias("members")
+    )
+    small = buckets.where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    pairs = (
+        small.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    f" o -> struct(least(m.{id_col}, o.{id_col}) AS a,"
+                    f" greatest(m.{id_col}, o.{id_col}) AS b,"
+                    " m.simhash AS ha, o.simhash AS hb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.ha", "p.hb")
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.select(
+        "a", "b", hamming64("ha", "hb").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 6,
+    threshold: float = 0.6,
+    max_doc_freq_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs via an inverted index join.
+
+    Shingles present in more than ``max_doc_freq_frac`` of documents
+    are dropped before the self-join (stop-shingle removal): the join
+    fan-out per shingle is then bounded by df_cap, and boilerplate
+    n-grams cannot produce a quadratic bucket. This is the exact-
+    verify stage run after LSH at scale; here it is also a standalone
+    DuckDB-oracleable query.
+    """
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    n_docs = docs.select(id_col).distinct().count()
+    df_cap = int(n_docs * max_doc_freq_frac)
+    # anti-join against the (small) hot-shingle list rather than a
+    # window over the full index: the hot list aggregates map-side
+    # and broadcasts, so the index shuffles only once, for the join
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh_kept = sh.join(hot, "shingle", "left_anti")
+    sizes = sh_kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh_kept.select(F.col(id_col).alias("a"), "shingle")
+    b = sh_kept.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,8 +1,88 @@
-"""LLM-data-pipeline queries (dedup, similarity search, text analysis)
-— populated by operators/dedup.py, operators/similarity.py,
-functions/text.py as they land."""
+"""LLM-data-pipeline queries: deduplication, similarity search, text
+analysis over the ``documents`` / ``embeddings`` tables.
+
+Oracle-able where DuckDB can express the same semantics (exact dedup,
+n-gram Jaccard); rows-only where the result depends on engine hashing
+(MinHash/SimHash use xxhash64) — those carry planted-duplicate pytest
+coverage instead (tests/test_dedup.py).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ..sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=6, threshold=0.6)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=6, num_hashes=64, bands=16, threshold=0.7)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "text_simhash": text_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 6) AS g
+            FROM documents, unnest(generate_series(1, length(text) - 5)) AS t(i)
+            WHERE length(text) >= 6
+        ), hot AS (
+            SELECT g FROM sh GROUP BY g
+            HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)
+        ), kept AS (
+            SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+        ), inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON a = sa.doc_id
+        JOIN sizes sb ON b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    """,
+}

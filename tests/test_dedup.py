@@ -1,0 +1,117 @@
+"""Planted-duplicate tests for the dedup operator family: the
+LSH/SimHash paths must find planted near-dups (recall) without
+pairing unrelated documents (precision), and must agree with the
+exact Jaccard verify stage."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+WORDS = [
+    "table", "scan", "filter", "join", "merge", "sort", "window", "batch",
+    "stream", "query", "column", "row", "hash", "agg", "spark", "value",
+]
+
+
+def _mk_doc(rng, n=120):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _mutate(rng, text, n_edits=3):
+    toks = text.split(" ")
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, _mk_doc(rng)))
+    # 5 planted near-dup pairs: ids (100+i, 200+i)
+    for i in range(5):
+        base = _mk_doc(rng)
+        rows.append((100 + i, base))
+        rows.append((200 + i, _mutate(rng, base)))
+    # 2 planted exact dups of doc 0
+    rows.append((300, rows[0][1]))
+    rows.append((301, "  " + rows[0][1].upper() + "  "))  # normalizes equal
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_groups_planted_copies(planted):
+    out = exact_dedup(planted).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[0] == 3  # doc 0 + raw copy + case/whitespace variant
+    assert sum(r["n_copies"] for r in out) == planted.count()
+
+
+def test_minhash_finds_planted_pairs_no_false_positives(planted):
+    # threshold 0.7: unrelated docs drawn from the same 16-word
+    # vocabulary legitimately share ~half their 6-gram shingles, so
+    # 0.5 would (correctly) pair them
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(planted, threshold=0.7).collect()}
+    for i in range(5):
+        assert (100 + i, 200 + i) in pairs, f"planted pair {i} missed"
+    # no pair between two unrelated random docs (ids < 100 both sides)
+    assert not [p for p in pairs if p[0] < 100 and p[1] < 100]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(planted):
+    est = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(planted, threshold=0.3).collect()
+    }
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted, threshold=0.3, max_doc_freq_frac=1.0).collect()
+    }
+    common = set(est) & set(exact)
+    assert common, "no overlapping pairs to compare"
+    for p in common:
+        assert est[p] == pytest.approx(exact[p], abs=0.25)
+
+
+def test_simhash_identical_and_near(spark, planted):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+    assert fp[0] == fp[300]  # identical text -> identical fingerprint
+    # near-dup pair: small hamming distance
+    df = spark.createDataFrame(
+        [(fp[100], fp[200]), (fp[101], fp[201])], "x bigint, y bigint"
+    )
+    dists = [r["d"] for r in df.select(hamming64("x", "y").alias("d")).collect()]
+    assert all(d <= 10 for d in dists)
+
+
+def test_simhash_near_pairs_finds_exact_copies(planted):
+    pairs = {(r["a"], r["b"]) for r in simhash_near_pairs(planted, max_hamming=3).collect()}
+    assert (0, 300) in pairs
+
+
+def test_ngram_jaccard_planted_high(planted):
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted, threshold=0.5, max_doc_freq_frac=1.0).collect()
+    }
+    for i in range(5):
+        assert out.get((100 + i, 200 + i), 0) > 0.5
+
+
+def test_no_allpairs_in_lsh_plan(planted):
+    plan = minhash_lsh_pairs(planted)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
