@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    queries_from_corpus,
+)
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -46,7 +51,27 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors as queries."""
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, queries_from_corpus(emb, n=5), k=10)
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (recall vs exact asserted in
+    tests/test_similarity.py — results depend on the sampled
+    quantizer, so no SQL oracle)."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, queries_from_corpus(emb, n=5), k=10, n_centroids=16, n_probe=4)
+
+
 QUERIES = {
+    "similarity_bruteforce_topk": similarity_bruteforce_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -55,6 +80,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_bruteforce_topk": """
+        SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                           c.vec_id) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        )
+        WHERE rank <= 10
+    """,
     "dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
                min(doc_id) AS keep_id,
