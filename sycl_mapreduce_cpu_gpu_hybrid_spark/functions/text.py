@@ -1,0 +1,147 @@
+"""Text-analysis function pack for training-data pipelines
+(SURVEY.md §7 M3: n-gram/token profiles, language stats).
+
+Everything is built from JVM regex/string/higher-order functions —
+column expressions usable in any query, no Python row path. The only
+driver-side state is the small static stopword table for language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: letter runs | single digits | non-alnum marks.
+# A real BPE vocabulary merges subwords; this regex over-segments by
+# design (an upper bound on token count) while staying engine-portable.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "por", "que", "no"],
+}
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Upper-bound token estimate via BPE_ISH_PATTERN matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0, 1] quality heuristic: rewards alphabetic content
+    and mid-length tokens, penalizes punctuation soup — the usual
+    first-pass web-scrape filter shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    mean_tok_len = F.length(F.trim(c)) / F.greatest(whitespace_token_count(c), F.lit(1))
+    len_term = F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+    return F.round(
+        F.least(
+            F.greatest(
+                alpha_ratio(c) * 0.6 + len_term * 0.3 + (1 - punct_ratio(c)) * 0.1,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        4,
+    )
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map of language -> stopword-hit count (the raw signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    entries = []
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        entries.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).alias("hits"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Predicted language: argmax of stopword hits (ties broken by
+    list order via max-on-struct), 'und' (undetermined) below
+    ``min_hits``."""
+    scores = lang_scores(col)
+    best = F.array_max(
+        F.transform(scores, lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")))
+    )
+    return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every
+    k-gram, slide a ``window``-wide frame over the hash sequence, keep
+    each frame's minimum — guaranteeing any match of length
+    >= k + window - 1 shares a fingerprint. DataFrame[doc_id,
+    fingerprint] distinct.
+
+    The k-gram position comes from posexplode (deterministic by
+    construction — never a physical-order id), and the per-position
+    sliding min is a window frame aggregate (rowsBetween 0..window-1)
+    partitioned by document — one hash partition by doc; the
+    in-partition sort spills, so giant documents degrade to disk.
+    Note this explodes one array element per character of a document
+    in a single row buffer (no slice level): fingerprinting callers
+    should pre-truncate multi-MB documents."""
+    pos = (
+        docs.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                    f" i -> xxhash64(substring({text_col}, i, {k})))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    frame_min = F.min("h").over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return pos.select(F.col(id_col), frame_min.alias("fingerprint")).distinct()

@@ -12,6 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import (
+    alpha_ratio,
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+    winnowing_fingerprints,
+)
 from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -69,7 +78,55 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_from_corpus(emb, n=5), k=10, n_centroids=16, n_probe=4)
 
 
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token statistics (whitespace + BPE-ish)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("bpe_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals for the first 100 docs."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.round(alpha_ratio("text"), 4).alias("alpha_ratio"),
+        F.round(stopword_ratio("text", "en"), 4).alias("en_stop_ratio"),
+        whitespace_token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language histogram (stopword-argmax heuristic; the
+    synthetic corpus is English-vocabulary soup, so the useful check
+    is determinism + the hand-built-sentence tests)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(lang_id("text").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per doc (count + min, so the
+    result is compact and deterministic)."""
+    d = _docs(spark, sf_dir)
+    fp = winnowing_fingerprints(d, k=8, window=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+    )
+
+
 QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_exact": dedup_exact,
@@ -80,6 +137,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_token_stats": r"""
+        SELECT lang, count(*) AS n_docs,
+               sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
+               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+               round(avg(length(text)), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "text_quality": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS ar,
+                   length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS pr,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+                       * 1.0 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS sr,
+                   length(trim(text)) * 1.0 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS mtl
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               round(ar, 4) AS alpha_ratio,
+               round(sr, 4) AS en_stop_ratio,
+               CAST(nt AS INT) AS n_tokens,
+               round(least(greatest(ar * 0.6 + least(mtl / 8.0, 1.0) * 0.3
+                     + (1 - pr) * 0.1, 0.0), 1.0), 4) AS quality
+        FROM base
+    """,
     "similarity_bruteforce_topk": """
         SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
         FROM (
