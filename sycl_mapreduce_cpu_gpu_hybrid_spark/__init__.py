@@ -7,15 +7,22 @@ operators (dedup, similarity search, text analysis, streaming).
 Layout:
 - ``session``    — SparkSession bootstrap tuned for local[N] and cluster use.
 - ``operators``  — k-mer pipeline (the reference's one real query),
-                   dedup, similarity search, as-of join.
+                   dedup (exact/MinHash-LSH/SimHash/n-gram Jaccard),
+                   similarity search (exact + IVF), as-of join,
+                   multimodal binary-column plumbing.
 - ``sources``    — corpus ETL (FASTA-strip / truncate, reference
                    scripts/modifier.sh + truncator.sh semantics) and
                    table loaders for the test parquet.
-- ``functions``  — portable hashing (DuckDB-oracle-compatible), text
-                   analysis function pack.
+- ``functions``  — text-analysis pack (tokens, quality, lang-id,
+                   winnowing fingerprints) and the pandas_udf kernel
+                   registration surface.
+- ``queries``    — the declared query inventory with DuckDB oracles
+                   (the driver's correctness gate).
 - ``plans``      — metrics emission shaped like the reference's
                    points.txt (src/main.cpp:19-38) and timing helpers.
-- ``streaming``  — Structured Streaming equivalents over the events table.
+- ``streaming``  — Structured Streaming over the events table
+                   (watermarked tumbling/sliding windows, bounded-state
+                   dedup), batch-equivalence tested.
 """
 
 __version__ = "0.1.0"

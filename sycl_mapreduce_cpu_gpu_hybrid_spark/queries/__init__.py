@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import kmerq, llm, relational, scalars
+from . import extensions, kmerq, llm, relational, scalars
 
-_MODULES = [kmerq, relational, scalars, llm]
+_MODULES = [kmerq, relational, scalars, llm, extensions]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

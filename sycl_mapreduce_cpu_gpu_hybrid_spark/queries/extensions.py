@@ -1,0 +1,63 @@
+"""Extension-surface queries: Structured Streaming, the pandas_udf
+kernel registration path, and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udf import vowel_ratio_udf
+from ..operators.multimodal import attach_fake_media, byte_histogram_features
+from ..sources.tables import load_table
+from ..streaming.events import stream_tumbling_to_table
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events replayed through the streaming engine (file source ->
+    watermark -> tumbling windows -> availableNow drain). The oracle
+    is the batch equivalent — 1-hour window starts == date_trunc."""
+    return stream_tumbling_to_table(spark, sf_dir)
+
+
+def udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas_udf kernel over documents —
+    deliberately SQL-replicable so the Python kernel path itself
+    passes the value-hash gate."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    vr = vowel_ratio_udf()
+    return docs.select("doc_id", F.round(vr("text"), 4).alias("vowel_ratio"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: documents -> opaque payloads + typed
+    metadata -> mapInPandas byte-histogram features (the stand-in for
+    a decode/embed stage). Engine-side plumbing only — rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = byte_histogram_features(attach_fake_media(docs))
+    return feats.select(
+        "media_id",
+        "modality",
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "udf_vowel_ratio": udf_vowel_ratio,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "udf_vowel_ratio": """
+        SELECT doc_id,
+               round(len(regexp_extract_all(text, '[aeiou]')) * 1.0
+                     / greatest(length(text), 1), 4) AS vowel_ratio
+        FROM documents WHERE doc_id < 200
+    """,
+}

@@ -1,0 +1,109 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.10 —
+no reference counterpart; additive capability per the north star).
+
+The batch/stream unification is the point: the same tumbling-window
+aggregation expression runs as a batch groupBy or as a watermarked
+streaming query, and the tests assert both produce identical results
+(the streaming analog of the reference's device-1/2/3 agreement
+invariant, SURVEY §5).
+
+At cluster scale the source would be Kafka (`readStream.format
+("kafka")`) — here the file source replays the parquet fixture, which
+exercises the identical watermark/state machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources.tables import _ns_timestamp_cols
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. Streaming sources need
+    an explicit schema; ns-precision timestamps go through the same
+    nanosAsLong + microsecond conversion as the batch loader."""
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = set(_ns_timestamp_cols(path))
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    fields = [
+        StructField(f.name, LongType() if f.name in ns_cols else f.dataType, f.nullable)
+        for f in batch_schema
+    ]
+    # the file stream source requires a directory: stream the sf dir
+    # with a glob pinned to the events file
+    stream = (
+        spark.readStream.schema(StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type. Works on a
+    stream (late data beyond ``watermark`` dropped, state evicted per
+    window close) and on a batch frame (watermark is a no-op there)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window average value (each event lands in
+    width/slide windows)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "avg_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup with bounded state:
+    duplicates arriving within the watermark horizon are dropped,
+    state for expired event-times is evicted (the streaming
+    generalization of the reference sink's unordered_set dedup,
+    src/main.cpp:62-70 — which would grow without bound on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(result: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drain the full backlog through the streaming engine
+    (Trigger.AvailableNow) into an in-memory table ``name``.
+
+    ``complete`` for windowed aggregations: in append mode a window
+    only emits once the watermark passes its end, so the trailing
+    windows of a finite backlog would be withheld in state forever.
+    Row-level streams (e.g. dedup) use ``append``."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_to_table(spark: SparkSession, sf_dir: str, name: str = "stream_tumbling") -> DataFrame:
+    """End-to-end: stream the events fixture through watermarked
+    tumbling windows, drain with availableNow, return the result."""
+    result = tumbling_counts(stream_events(spark, sf_dir))
+    run_available_now(result, name, mode="complete")
+    return spark.table(name)
