@@ -1,17 +1,26 @@
-"""Benchmark harness — reproduces the reference's grid shape
-(runprogram.sh: warm-up runs excluded from metrics, one row per point)
-over this engine's headline queries.
+"""Benchmark harness — reproduces the reference's measurement protocol
+(runprogram.sh:16-101: per-point warm-up runs excluded from metrics,
+one appended points.txt row per measurement) over this engine's
+declared query inventory.
 
-Runs every query in ``__spark_entry__.queries()`` against
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+Default mode (driver contract): run every query in
+``__spark_entry__.queries()`` against ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, one warm-up +
+one timed run each, and print ONE JSON line::
 
-Each query is forced with a full materialization via the ``noop``
-sink (all partitions computed, nothing collected to the driver) —
-the closest analog of the reference's kernel-time bracket
-(src/helper.h:124-196) without driver-side bias.
+    {"metric": "bench_total_wall", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each timed run fully materializes via the ``noop`` sink (all
+partitions computed, nothing collected) — the closest analog of the
+reference's kernel-time bracket (src/helper.h:124-196) without
+driver-transfer bias. Timings also append to ``points.txt`` in the
+reference's row shape ``N k ls lsc mode metric value``
+(src/main.cpp:19-38) via plans.metrics.MetricsRecorder.
+
+Sweep mode (``SPARK_GRAFT_SWEEP=1``): additionally runs the
+reference's own experiment grid — k-mer counting over k x truncation-N
+(README.md:3-10 shape) — appending one points row per grid point.
 """
 
 from __future__ import annotations
@@ -24,9 +33,65 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sycl_mapreduce_cpu_gpu_hybrid_spark.plans.metrics import (  # noqa: E402
+    METRIC_TIME_MS,
+    MetricsRecorder,
+    timed,
+)
+
+POINTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "points.txt")
+SWEEP_KS = [2, 4, 8, 16]
+SWEEP_NS = [100, 200, 400]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _kmer_k(name: str) -> int:
+    m = re.search(r"_k(\d+)", name)
+    return int(m.group(1)) if m else 0
+
+
+def run_inventory(spark, sf_dir: str, recorder: MetricsRecorder, n_scale: int, ls: int) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        # per-point warm-up, excluded from metrics (runprogram.sh:29-41)
+        force(fn(spark, sf_dir))
+        with timed() as t:
+            force(fn(spark, sf_dir))
+        timings[name] = round(t["sec"], 4)
+        recorder.record(
+            n=n_scale, k=_kmer_k(name), ls=ls, lsc=ls, mode="spark-local",
+            metric=METRIC_TIME_MS, value=round(t["sec"] * 1000, 3),
+        )
+    return timings
+
+
+def run_sweep(spark, sf_dir: str, recorder: MetricsRecorder, ls: int) -> None:
+    """The reference's own grid: k x N (chars/doc truncation —
+    truncator.sh semantics) over the documents corpus."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import kmer_count
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.corpus import truncate_docs
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for k in SWEEP_KS:
+        for n in SWEEP_NS:
+            q = kmer_count(truncate_docs(docs, n), k=k, min_count=2)
+            force(q)  # warm-up (JIT/codegen), suppressed like warmup=1
+            recorder.record(
+                n=n, k=k, ls=ls, lsc=ls, mode="spark-local",
+                metric=METRIC_TIME_MS, value=0.0, warmup=True,
+            )
+            with timed() as t:
+                force(q)
+            recorder.record(
+                n=n, k=k, ls=ls, lsc=ls, mode="spark-local",
+                metric=METRIC_TIME_MS, value=round(t["sec"] * 1000, 3),
+            )
 
 
 def main() -> None:
@@ -34,21 +99,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    import __spark_entry__ as entrymod
     from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    ls = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_scale = int((sf or 0) * 1_000_000)
 
-    # per-query warm-up excluded from metrics (runprogram.sh:29-41:
-    # the reference excludes JIT warm-up per measurement point) — each
-    # query's first run carries its own plan-compilation cost
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        force(fn(spark, sf_dir))  # warm-up: codegen + shuffle setup
-        start = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 4)
+    recorder = MetricsRecorder()
+    timings = run_inventory(spark, sf_dir, recorder, n_scale, ls)
+    if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
+        run_sweep(spark, sf_dir, recorder, ls)
+    recorder.write_points(POINTS_PATH)
 
     print(
         json.dumps(

@@ -63,6 +63,9 @@ def shingles(
             text_col=text_col,
             keep_cols=[id_col],
             enforce_reference_cap=False,
+            # downstream consumers hash every shingle up to 64x, so the
+            # per-row work justifies fanning out even a small corpus
+            spread=True,
         )
         .select(id_col, F.col("word").alias("shingle"))
         .distinct()
@@ -77,18 +80,44 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_hashes`` min-over-
-    shingles xxhash64 values. One explode + one groupBy; the signature
+    shingles hash values. One explode + one groupBy; the signature
     build is ``num_hashes`` independent min aggregates, all map-side
-    combined, so the shuffle carries one row per doc."""
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    combined, so the shuffle carries one row per doc.
+
+    Two deliberate cost cuts vs the naive form:
+    - no shingle distinct: min over a multiset equals min over its
+      set, so the dedup shuffle is pure overhead here;
+    - double hashing: the i-th hash derives from two base xxhash64
+      evaluations as h1 XOR rotl(h2, 1 + i mod 63), not ``num_hashes``
+      full string hashes per shingle. (The additive h1 + i*h2 family
+      would overflow ANSI long arithmetic; xor-rotate stays bitwise
+      and is an equally serviceable uniform family for min-hash —
+      estimate quality is asserted against exact Jaccard in tests.)
+    """
+    sh = kmer_explode(
+        docs.select(id_col, text_col),
+        k=k,
+        text_col=text_col,
+        keep_cols=[id_col],
+        enforce_reference_cap=False,
+        spread=True,
+    ).select(
+        id_col,
+        F.xxhash64("word", F.lit(1)).alias("_h1"),
+        F.xxhash64("word", F.lit(2)).alias("_h2"),
+    )
+    def _h(i: int):
+        rot = 1 + (i % 63)
+        rotl = F.shiftleft(F.col("_h2"), rot).bitwiseOR(
+            F.shiftrightunsigned(F.col("_h2"), 64 - rot)
+        )
+        return F.col("_h1").bitwiseXOR(rotl)
+
     mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"_h{seed}")
-            for seed in range(num_hashes)
-        ]
+        *[F.min(_h(i)).alias(f"_m{i}") for i in range(num_hashes)]
     )
     return mins.select(
-        id_col, F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("signature")
+        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -251,7 +280,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 6,
     threshold: float = 0.6,
-    max_doc_freq_frac: float = 0.1,
+    max_doc_freq_frac: float = 0.02,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:

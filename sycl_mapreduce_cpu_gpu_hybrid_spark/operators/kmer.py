@@ -95,6 +95,7 @@ def kmer_explode(
     slice_size: int = DEFAULT_SLICE,
     enforce_reference_cap: bool = True,
     keep_cols: list[str] | None = None,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Emit one row per k-mer occurrence (the Map phase).
 
@@ -105,9 +106,16 @@ def kmer_explode(
     interpreted higher-order ``transform`` — not codegen'd, but never
     Python); the aggregation downstream is an ordinary spillable
     shuffle hash agg.
+
+    ``spread``: None = size-based auto decision; True/False forces.
+    Callers whose downstream per-row work is much heavier than a
+    count (e.g. MinHash's 64 hashes per shingle) should force True.
     """
     _validate_k(k, enforce_reference_cap)
-    spread, n_parts = _should_spread(docs)
+    if spread is None:
+        spread, n_parts = _should_spread(docs)
+    else:
+        n_parts = docs.sparkSession.sparkContext.defaultParallelism
     carried = [F.col(c) for c in (keep_cols or [])]
     slices = (
         docs.where(F.length(text_col).isNotNull() & (F.length(text_col) >= k))

@@ -201,7 +201,7 @@ ORACLES = {
             WHERE length(text) >= 6
         ), hot AS (
             SELECT g FROM sh GROUP BY g
-            HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)
+            HAVING count(*) > 0.02 * (SELECT count(DISTINCT doc_id) FROM documents)
         ), kept AS (
             SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
         ), sizes AS (

@@ -56,19 +56,22 @@ def test_ivf_probes_fewer_candidates(spark, sf_dir):
     )
 
     cents = sample_centroids(emb, 16)
-    cells = _assign_cells(emb.select("vec_id", "embedding"), cents, "embedding", 1)
-    qcells = _assign_cells(
-        qs.select("query_id", "query_vec"), cents, "query_vec", 2
-    )
+    cells = _assign_cells(emb, cents, "vec_id", "embedding", 1)
+    qcells = _assign_cells(qs, cents, "query_id", "query_vec", 2)
     cand = cells.join(qcells, "cid").count()
     assert cand < n * 3 / 2, f"candidates {cand} not pruned vs {n * 3}"
     assert approx.count() == 30
 
 
-def test_bruteforce_broadcasts_queries(spark, sf_dir):
+def test_bruteforce_plan_no_join(spark, sf_dir):
+    """The query matrix lives in the scorer's closure: the corpus is
+    scanned once through MapInPandas with no join anywhere, and the
+    only Exchange is the per-query top-k window."""
     emb = load_table(spark, sf_dir, "embeddings")
     plan = (
         brute_force_topk(emb, queries_from_corpus(emb, n=5), k=10)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan  # corpus side never shuffles for the join
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
