@@ -284,36 +284,50 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs via an inverted index join.
+    """Exact shingle-Jaccard pairs via a compact inverted index.
 
-    Shingles present in more than ``max_doc_freq_frac`` of documents
-    are dropped before the self-join (stop-shingle removal): the join
-    fan-out per shingle is then bounded by df_cap, and boilerplate
-    n-grams cannot produce a quadratic bucket. This is the exact-
-    verify stage run after LSH at scale; here it is also a standalone
-    DuckDB-oracleable query.
+    One explode feeds ONE aggregation building the inverted index
+    ``shingle -> sorted set of doc_ids`` (collect_set is the distinct
+    — no separate dedup shuffle, and the exploded rows are touched
+    exactly once; the naive formulation recomputes the explode for
+    the hot-list, the sizes, and both join sides). Everything else
+    derives from the index, which is tiny (distinct-shingle count,
+    not instance count):
+
+    - stop-shingle removal: index rows with df > ``max_doc_freq_frac``
+      x n_docs are dropped, so boilerplate n-grams cannot produce a
+      quadratic bucket; per-shingle pair fan-out is bounded by df_cap;
+    - doc sizes (|A| over kept shingles, df=1 included) re-explode the
+      *index*, not the corpus;
+    - candidate pairs are generated per index row from the sorted
+      doc array (i<j positions, so a<b with no filter), then counted.
+
+    This is the exact-verify stage run after LSH at scale; here it is
+    also a standalone DuckDB-oracleable query.
     """
     sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
     n_docs = docs.select(id_col).distinct().count()
     df_cap = int(n_docs * max_doc_freq_frac)
-    # anti-join against the (small) hot-shingle list rather than a
-    # window over the full index: the hot list aggregates map-side
-    # and broadcasts, so the index shuffles only once, for the join
-    hot = (
+    idx = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
+        .where(F.size("ds") <= df_cap)
+        .select("ds")
     )
-    sh_kept = sh.join(hot, "shingle", "left_anti")
-    sizes = sh_kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh_kept.select(F.col(id_col).alias("a"), "shingle")
-    b = sh_kept.select(F.col(id_col).alias("b"), "shingle")
+    sizes = (
+        idx.select(F.explode("ds").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # pair array per shingle: all (ds[i], ds[j]) with i < j
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        idx.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))

@@ -106,6 +106,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus is English-vocabulary soup, so the useful check
     is determinism + the hand-built-sentence tests)."""
     d = _docs(spark, sf_dir)
+    # the per-doc score is ~langs x tokens interpreted lambda calls —
+    # heavy enough to fan out when the scan arrives single-partition
+    sc = spark.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism)
     return d.groupBy(lang_id("text").alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
