@@ -344,3 +344,128 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, sim) with
+    a < b and cosine >= threshold.
+
+    The corpus streams once through an Arrow-batched numpy matmul
+    against the corpus matrix held in the closure (the verify-stage
+    analog of similarity.brute_force_topk). That makes compute
+    O(n^2 d) but with a single scan, no join, no shuffle of vector
+    data — only the surviving (a, b, sim) triples move. The closure
+    matrix bounds this exact form to corpora whose vectors fit on one
+    executor (n x d x 8 bytes); beyond that, run
+    embedding_lsh_pairs and feed its candidate pairs to the same
+    scorer.
+    """
+    from .similarity import _collect_matrix, _score_stream
+
+    ids, unit = _collect_matrix(corpus, id_col, vec_col)
+    scored = _score_stream(corpus, id_col, vec_col, ids, unit)
+    return (
+        scored.where(
+            (F.col("ref_id") < F.col(id_col)) & (F.col("sim") >= threshold)
+        )
+        .select(
+            F.col("ref_id").alias("a"), F.col(id_col).alias("b"), "sim"
+        )
+    )
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 500,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH.
+
+    Sign bits of ``n_planes`` seeded random projections form a
+    bit-signature; band buckets (``n_planes/bands`` bits each) gate an
+    exact cosine verify, so only same-bucket pairs are ever scored —
+    compute is bucket-bounded, never all-pairs. For two vectors at
+    angle theta, P[bit agrees] = 1 - theta/pi; with the 64-plane /
+    16-band default, even weakly similar pairs (cosine 0.4, the
+    synthetic fixture's near-dup regime) land in a shared band with
+    ~94% probability, and truly near-dup pairs (cosine >= 0.9)
+    essentially always. Recall is asserted against the exact operator
+    in tests.
+
+    The plane matrix is a deterministic function of ``seed`` (numpy
+    default_rng), tiny (n_planes x d), and lives in the projection
+    UDF's closure; the verify joins vectors back per candidate pair,
+    so vector payloads move only for candidates.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .similarity import cosine_sim
+
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    r = n_planes // bands
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    out_schema = f"{id_col} long, bits long"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = v.shape[1]
+            if d not in planes_by_dim:
+                planes_by_dim[d] = np.random.default_rng(seed).standard_normal(
+                    (n_planes, d)
+                )
+            bits = (v @ planes_by_dim[d].T) >= 0  # (batch, n_planes)
+            packed = np.zeros(len(v), dtype=np.int64)
+            for i in range(n_planes):
+                packed |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bits": packed})
+
+    sigs = corpus.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
+    band_mask = (1 << r) - 1
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> shiftrightunsigned(bits, b * {r}) & {band_mask})"
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    buckets = banded.groupBy("band_idx", "band_bits").agg(
+        F.collect_list(F.col(id_col)).alias("members")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"
+    )
+    cand = (
+        buckets.where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+        .select(F.sort_array("members").alias("ms"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cosine_sim("_va", "_vb"), 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

@@ -27,6 +27,7 @@ from ..operators.similarity import (
     queries_from_corpus,
 )
 from ..operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -58,6 +59,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs. The synthetic embeddings
+    have no planted duplicates (max pairwise cosine ~0.51), so the
+    threshold sits at the fixture's high-similarity tail; real
+    pipelines run 0.9+."""
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +150,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_simhash": text_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
 ORACLES = {
@@ -191,6 +203,17 @@ ORACLES = {
             FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
         )
         WHERE rank <= 10
+    """,
+    "dedup_embedding_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.4
     """,
     "dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,

@@ -115,3 +115,26 @@ def test_no_allpairs_in_lsh_plan(planted):
     plan = minhash_lsh_pairs(planted)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark, sf_dir):
+    """LSH candidate generation must recover nearly all exact pairs at
+    the fixture's similarity regime, while scoring far fewer than
+    n^2/2 candidates."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        embedding_near_dup_pairs,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a"], r["b"]) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["a"], r["b"]) for r in embedding_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # verify stage is exact, so no false positives
+    assert exact, "fixture should contain pairs at 0.4"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} below floor"
