@@ -9,7 +9,14 @@ from pyspark.sql import functions as F
 from ..functions.udf import vowel_ratio_udf
 from ..operators.multimodal import attach_fake_media, byte_histogram_features
 from ..sources.tables import load_table
-from ..streaming.events import stream_tumbling_to_table
+from ..streaming.events import session_counts, stream_tumbling_to_table
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window gap-sessions per user (batch mode — the same
+    expression streams; tests assert batch/stream agreement). Oracled
+    via SQL gap-island detection (lag + cumulative new-session flag)."""
+    return session_counts(load_table(spark, sf_dir, "events"), gap="30 minutes")
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,12 +50,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
     "udf_vowel_ratio": udf_vowel_ratio,
     "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
+    "events_sessionization": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM numbered GROUP BY user_id, sid
+    """,
     "stream_tumbling_counts": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value

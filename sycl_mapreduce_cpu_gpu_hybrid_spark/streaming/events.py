@@ -107,3 +107,75 @@ def stream_tumbling_to_table(spark: SparkSession, sf_dir: str, name: str = "stre
     result = tumbling_counts(stream_events(spark, sf_dir))
     run_available_now(result, name, mode="complete")
     return spark.table(name)
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", key: str = "user_id"
+) -> DataFrame:
+    """Session-window aggregation: events for a key belong to one
+    session while each is within ``gap`` of the previous; the window
+    closes ``gap`` after the last event. Identical expression in batch
+    and stream (session_window supports both); on a stream the
+    watermark bounds session state. SQL-oracled in batch mode via
+    gap-island detection (lag + cumulative new-session flags)."""
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col(key),
+            F.col("win.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stateful_running_max(
+    events: DataFrame,
+    key: str = "user_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running max of ``value`` with event count. The state tuple is the
+    streaming analog of the reference's per-key accumulation
+    (Mapped::operator+, src/GPU_Module/GPU.cpp:20-27) with explicit
+    lifetime management — the piece Spark's built-in aggregates hide.
+
+    Each micro-batch emits one row per updated key; state survives
+    across batches and is bounded by the distinct-key count, never the
+    event count. Pass ``timeout_minutes`` on a live (unbounded) stream
+    to evict idle keys via processing-time timeout; leave it None for
+    finite replays — a pending timeout keeps an availableNow drain
+    alive until the wall clock reaches it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "max_value": [mx]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -45,3 +45,36 @@ def test_dedup_within_watermark(spark, sf_dir):
     # operator's job is bounded state, not dropping unique rows
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_equals_batch_session(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import session_counts
+
+    batch = session_counts(load_table(spark, sf_dir, "events"))
+    streamed = session_counts(stream_events(spark, sf_dir))
+    run_available_now(streamed, "t_session_eq", mode="complete")
+    cols = ["user_id", "session_start", "n", "sum_value"]
+    assert _rows(spark.table("t_session_eq"), cols) == _rows(batch, cols)
+
+
+def test_stateful_running_max(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stateful_running_max,
+    )
+
+    streamed = stateful_running_max(stream_events(spark, sf_dir))
+    run_available_now(streamed, "t_stateful_max", mode="update")
+    out = spark.table("t_stateful_max")
+    # update mode: keep each key's last emission (max n_events)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max_by("max_value", "n_events").alias("max_value"),
+             F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
