@@ -35,6 +35,26 @@ def udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.round(vr("text"), 4).alias("vowel_ratio"))
 
 
+def udf_grouped_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate kernel (GROUPED_AGG pandas_udf) — the
+    Mapped::operator+ combiner analog (src/GPU_Module/GPU.cpp:20-27)
+    as a user-registered reduction: per-event-type RMS of value.
+    SQL-replicable so the custom-agg path passes the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.udf import register_grouped_agg_kernel
+
+    def rms(s: pd.Series) -> float:
+        return float(np.sqrt(np.mean(np.square(s.to_numpy(dtype="float64")))))
+
+    kernel = register_grouped_agg_kernel(spark, "rms_kernel", rms, "double")
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(kernel("value"), 4).alias("rms_value")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media pipeline: documents -> opaque payloads + typed
     metadata -> mapInPandas byte-histogram features (the stand-in for
@@ -53,6 +73,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
     "udf_vowel_ratio": udf_vowel_ratio,
+    "udf_grouped_rms": udf_grouped_rms,
     "multimodal_features": multimodal_features,
 }
 
@@ -78,6 +99,11 @@ ORACLES = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "udf_grouped_rms": """
+        SELECT event_type,
+               round(sqrt(avg(value * value)), 4) AS rms_value
+        FROM events GROUP BY event_type
     """,
     "udf_vowel_ratio": """
         SELECT doc_id,

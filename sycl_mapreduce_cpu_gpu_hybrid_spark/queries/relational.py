@@ -135,6 +135,18 @@ def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated quartile per group (sort-based
+    aggregation; at scale prefer approx_percentile — declared as the
+    separate rows-only agg_approx_distinct family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+    )
+
+
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (expand + two-phase agg under AQE)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -383,6 +395,7 @@ QUERIES = {
     "sort_multikey": sort_multikey,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_minmax": agg_minmax,
+    "agg_median": agg_median,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
@@ -458,6 +471,13 @@ ORACLES = {
                round(max(o_totalprice), 2) AS max_price,
                count(*) AS n
         FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_median": """
+        SELECT l_linestatus,
+               round(median(l_quantity), 4) AS med_qty,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        FROM lineitem GROUP BY l_linestatus
     """,
     "agg_count_distinct": """
         SELECT l_returnflag,

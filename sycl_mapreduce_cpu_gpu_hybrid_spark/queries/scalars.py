@@ -114,6 +114,25 @@ def array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface: construct maps, merge them, look up
+    keys, count entries. The oracle computes the same scalars from the
+    base columns — the values must agree, the map machinery is the
+    thing under test on the Spark side."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("prio"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "prio").alias("prio"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+    )
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_daily": events_daily,
@@ -122,6 +141,7 @@ QUERIES = {
     "string_pack": string_pack,
     "math_pack": math_pack,
     "array_pack": array_pack,
+    "map_pack": map_pack,
 }
 
 ORACLES = {
@@ -167,6 +187,14 @@ ORACLES = {
                CAST(ceil(l_tax) AS BIGINT) AS ceil_tax,
                CAST(floor(l_tax) AS BIGINT) AS floor_tax
         FROM lineitem WHERE l_orderkey <= 500
+    """,
+    "map_pack": """
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               o_orderpriority AS prio,
+               2 AS n_keys,
+               'prio,status' AS keys_csv
+        FROM orders WHERE o_orderkey <= 1000
     """,
     "array_pack": """
         SELECT vec_id,
