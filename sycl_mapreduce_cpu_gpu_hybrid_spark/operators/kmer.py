@@ -201,3 +201,12 @@ def kmer_sink(
 def window_starts(text: Column, k: int) -> Column:
     """Number of valid window starts in a document (0 if len < k)."""
     return F.greatest(F.length(text) - F.lit(k) + F.lit(1), F.lit(0))
+
+
+def safe_num_to_string(col: F.Column | str) -> F.Column:
+    """Int -> string with 0 mapped to the literal 'null' — parity with
+    the reference's debug formatter safe_num_to_string
+    (src/main.cpp:15-18), where a zeroed count marks a tombstoned
+    (merged-away) row rather than a real value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == 0, F.lit("null")).otherwise(c.cast("string"))

@@ -98,3 +98,11 @@ def test_k_cap_validation(spark, docs):
         kmer_count(docs, 65)
     # lifting the cap is allowed for the general engine
     kmer_count(docs, 65, enforce_reference_cap=False)
+
+
+def test_safe_num_to_string(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import safe_num_to_string
+
+    df = spark.createDataFrame([(0,), (1,), (-3,)], "v int")
+    got = sorted(r[0] for r in df.select(safe_num_to_string("v")).collect())
+    assert got == ["-3", "1", "null"]
