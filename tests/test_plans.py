@@ -1,10 +1,11 @@
 """Physical-plan assertions: the scale contract, checked in CI.
 
-Each test pins the plan property that makes a query viable at
-cluster scale — filter pushdown reaching the parquet scan, column
-pruning, broadcast for small dimensions, map-side partial
-aggregation, TakeOrderedAndProject for top-k — so a regression that
-silently degrades the plan (not the result) still fails."""
+Each test pins a plan property that makes a query viable at cluster
+scale — map-side partial aggregation, single-shuffle pipelines for
+the k-mer count / exact dedup / winnowing fingerprint — so a
+regression that silently degrades the plan (not the result) still
+fails. Scan pushdown / pruning / broadcast / top-k plan shapes are
+pinned in tests/test_relational.py."""
 
 from __future__ import annotations
 
@@ -14,28 +15,6 @@ import __spark_entry__ as entry
 def _plan(spark, sf_dir, name: str) -> str:
     df = entry.queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
-
-
-def test_filter_and_projection_reach_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "filter_project_cast")
-    assert "PushedFilters: [" in plan
-    # pushed-down predicate list is non-empty
-    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
-    assert pushed.strip(), "no filters pushed to the parquet scan"
-    # column pruning: the lineitem scan must not read all 16 columns
-    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
-    assert read_schema.count(",") < 8, f"scan reads too many columns: {read_schema}"
-
-
-def test_topk_plans_take_ordered(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "topk_orders")
-    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must not global-sort"
-
-
-def test_small_dims_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "join_multi_broadcast")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, "small dims must broadcast, not shuffle"
 
 
 def test_agg_is_partial_then_final(spark, sf_dir):
