@@ -246,3 +246,38 @@ ORACLES = {
         WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
     """,
 }
+
+
+def _langid_oracle_sql() -> str:
+    """Generate the DuckDB oracle for text_langid from the SAME
+    STOPWORDS table the Spark expression uses, so the two can never
+    drift. Tie-break mirrors Spark's array_max over struct(hits,
+    lang): max hits, then lexicographically greatest lang."""
+    from ..functions.text import STOPWORDS
+
+    values = ",\n              ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in STOPWORDS.items()
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), scores AS (
+            SELECT doc_id, l.lang,
+                   len(list_filter(t, x -> list_contains(l.words, x))) AS hits
+            FROM toks, (VALUES
+              {values}) AS l(lang, words)
+        ), best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang DESC) AS rn
+            FROM scores
+        )
+        SELECT CASE WHEN hits >= 1 THEN lang ELSE 'und' END AS pred_lang,
+               count(*) AS n
+        FROM best WHERE rn = 1 GROUP BY 1
+    """
+
+
+ORACLES["text_langid"] = _langid_oracle_sql()
