@@ -1,0 +1,53 @@
+"""Bucketing and partition pruning — plan-level proof that the
+storage layout removes shuffle/scan work."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.warehouse import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", n_buckets=4)
+    joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    # result is still correct vs the plain join
+    plain = orders.join(lineitem, "o_orderkey")
+    assert joined.count() == plain.count()
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(events, out, ["day"])
+
+    days = [r["day"] for r in events.select("day").distinct().collect()]
+    one_day = sorted(days)[0]
+    scan = spark.read.parquet(out).where(F.col("day") == F.lit(one_day))
+    plan = _plan(scan)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf, plan
+    # pruned scan reads exactly that day's rows
+    assert scan.count() == events.where(F.col("day") == F.lit(one_day)).count()
