@@ -110,3 +110,37 @@ def sample_frames(df: DataFrame, every_nth: int = 2, frame_bytes: int = 32) -> D
         ).alias("frame_idx", "frame"),
     )
     return frames.where(F.col("frame_idx") % every_nth == 0)
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, fake_decode: bool = True
+) -> DataFrame:
+    """Resize stage: decode -> nearest-neighbor resample to
+    (out_h, out_w, 3) -> flattened pixel array + updated meta. The
+    resample math is real numpy (index-gather nearest neighbor); only
+    the decode is the stubbed step (decode_image). Runs over 'image'
+    rows only, payloads live for one Arrow batch."""
+    out_schema = (
+        "media_id bigint, width int, height int, pixels array<double>"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload, fake=fake_decode).astype(np.float64)
+                h, w = img.shape[:2]
+                yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                resized = img[yi][:, xi]
+                out["media_id"].append(media_id)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixels"].append(resized.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        df.where(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(resize, schema=out_schema)
+    )

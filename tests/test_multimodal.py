@@ -68,3 +68,20 @@ def test_decode_stub_contract():
     fake = decode_image(b"some deterministic payload bytes go here............", fake=True)
     assert fake.shape == (4, 4, 3)
     assert fake.dtype == np.uint8
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = attach_fake_media(docs)
+    out = resize_images(media, out_w=8, out_h=8)
+    rows = out.collect()
+    assert rows and all(len(r["pixels"]) == 8 * 8 * 3 for r in rows)
+    # deterministic: same input -> same pixels
+    again = {r["media_id"]: r["pixels"] for r in resize_images(media, 8, 8).collect()}
+    assert all(again[r["media_id"]] == r["pixels"] for r in rows)
