@@ -114,6 +114,7 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.): hash every
     k-gram, slide a ``window``-wide frame over the hash sequence, keep
@@ -133,14 +134,24 @@ def winnowing_fingerprints(
     partitions than the cluster has: unlike the bare k-mer count
     (where tiny inputs run faster on one task), the per-character
     least-of-``window`` frame min is heavy enough that fan-out wins
-    even at toy scale (measured 2.3s -> 1.2s on 1.5 MB)."""
+    even at toy scale (measured 2.3s -> 1.2s on 1.5 MB).
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (functions/porthash.py) that DuckDB reproduces bit-identically —
+    slower, but it upgrades the declared query from a rows-only check
+    to a full value-hash oracle."""
     sc = docs.sparkSession.sparkContext
     base = docs.where(F.length(text_col) >= k)
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
+    gram = f"substring({text_col}, i, {k})"
+    hash_sql = (
+        f"cast(conv(substring(md5({gram}), 1, 15), 16, 10) AS bigint)"
+        if portable
+        else f"xxhash64({gram})"
+    )
     hashes = F.expr(
-        f"transform(sequence(1, length({text_col}) - {k} + 1),"
-        f" i -> xxhash64(substring({text_col}, i, {k})))"
+        f"transform(sequence(1, length({text_col}) - {k} + 1), i -> {hash_sql})"
     )
     if window <= 1:
         frame_min = "element_at(_h, j)"

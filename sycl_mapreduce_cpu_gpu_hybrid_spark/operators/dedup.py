@@ -78,6 +78,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_hashes`` min-over-
     shingles hash values. One explode + one groupBy; the signature
@@ -93,6 +94,12 @@ def minhash_signatures(
       would overflow ANSI long arithmetic; xor-rotate stays bitwise
       and is an equally serviceable uniform family for min-hash —
       estimate quality is asserted against exact Jaccard in tests.)
+
+    ``portable=True`` replaces the xor-rotate family with one
+    md5-derived hash per seed (functions/porthash.py) that DuckDB
+    reproduces bit-identically — ``num_hashes`` full hashes per
+    shingle, so pay it only in oracle-checked queries (use a smaller
+    ``num_hashes``).
     """
     sh = kmer_explode(
         docs.select(id_col, text_col),
@@ -101,7 +108,23 @@ def minhash_signatures(
         keep_cols=[id_col],
         enforce_reference_cap=False,
         spread=True,
-    ).select(
+    )
+    if portable:
+        from ..functions.porthash import portable_hash64
+
+        sh = sh.select(
+            id_col,
+            *[portable_hash64("word", seed=i).alias(f"_x{i}") for i in range(num_hashes)],
+        )
+        mins = sh.groupBy(id_col).agg(
+            *[F.min(f"_x{i}").alias(f"_m{i}") for i in range(num_hashes)]
+        )
+        return mins.select(
+            id_col,
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
+        )
+
+    sh = sh.select(
         id_col,
         F.xxhash64("word", F.lit(1)).alias("_h1"),
         F.xxhash64("word", F.lit(2)).alias("_h2"),
@@ -130,9 +153,16 @@ def minhash_lsh_pairs(
     max_bucket: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, scored by
     estimated Jaccard (fraction of equal signature components).
+
+    With ``portable=True`` and r=1 (bands == num_hashes) the result is
+    fully SQL-expressible: any pair with est > 0 shares a signature
+    component, hence a band bucket, so (bucket caps aside) the pair
+    set equals {pairs with est >= threshold} — which a DuckDB oracle
+    computes by brute-force signature comparison.
 
     rows/bands r = num_hashes/bands; a pair with true Jaccard j
     collides in some band with prob 1-(1-j^r)^bands (r=4, 16 bands:
@@ -143,7 +173,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col)
+    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col, portable=portable)
 
     banded = sigs.select(
         id_col,

@@ -129,9 +129,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint summary per doc (count + min, so the
-    result is compact and deterministic)."""
+    result is compact and deterministic). Uses the portable md5 hash
+    so DuckDB replays the winnow bit-identically (full value-hash
+    oracle); production callers keep the default xxhash64."""
     d = _docs(spark, sf_dir)
-    fp = winnowing_fingerprints(d, k=8, window=4)
+    fp = winnowing_fingerprints(d, k=8, window=4, portable=True)
     return fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fp"),
@@ -281,3 +283,93 @@ def _langid_oracle_sql() -> str:
 
 
 ORACLES["text_langid"] = _langid_oracle_sql()
+
+
+ORACLES["text_fingerprint"] = """
+    WITH h AS (
+        SELECT doc_id, u.i AS pos,
+               ('0x' || substr(md5(substr(text, u.i, 8)), 1, 15))::BIGINT AS hv
+        FROM documents,
+             unnest(range(1, greatest(length(text) - 8 + 1, 0) + 1)) AS u(i)
+        WHERE length(text) >= 8
+    ), m AS (
+        SELECT doc_id,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM h
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+    FROM m GROUP BY doc_id
+"""
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the portable md5 hash family
+    and r=1 banding (bands == num_hashes), which makes the pair set
+    exactly SQL-expressible: est > 0 implies a shared band bucket, so
+    modulo the (also replicated) bucket cap, the result equals
+    {pairs: est_jaccard >= threshold}. The production query
+    (dedup_minhash_pairs) keeps xxhash64 + 64 hashes; this one proves
+    the MinHash machinery end-to-end against DuckDB, over a bounded
+    doc subset (16 md5 evaluations per shingle are ~10x an xxhash64 —
+    the portable family is for verification, not production)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 2000),
+        k=6,
+        num_hashes=16,
+        bands=16,
+        threshold=0.7,
+        max_bucket=100,
+        portable=True,
+    )
+
+
+QUERIES["dedup_minhash_portable"] = dedup_minhash_portable
+
+
+def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: float = 0.7, max_bucket: int = 100) -> str:
+    """DuckDB replay of dedup_minhash_portable: same per-seed portable
+    hashes, same min-signatures, same bucket cap, same threshold."""
+    from ..functions.porthash import portable_hash64_sql
+
+    mins = ",\n               ".join(
+        f"min({portable_hash64_sql('g', seed=i)}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    long_union = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS i, s{i} AS v FROM sig" for i in range(num_hashes)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, substr(text, u.i, {k}) AS g
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {k} + 1, 0) + 1)) AS u(i)
+            WHERE length(text) >= {k} AND doc_id < 2000
+        ), sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ), long AS (
+            {long_union}
+        ), ok_buckets AS (
+            SELECT i, v FROM long GROUP BY i, v
+            HAVING count(*) BETWEEN 2 AND {max_bucket}
+        ), cand AS (
+            SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+            FROM long la
+            JOIN long lb ON la.i = lb.i AND la.v = lb.v AND la.doc_id < lb.doc_id
+            JOIN ok_buckets ob ON ob.i = la.i AND ob.v = la.v
+        )
+        SELECT cand.a, cand.b,
+               ({eq_sum}) / {num_hashes}.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.a
+        JOIN sig sb ON sb.doc_id = cand.b
+        WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+    """
+
+
+ORACLES["dedup_minhash_portable"] = _minhash_portable_oracle_sql()
