@@ -221,37 +221,52 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit i of the fingerprint
     is the sign of sum over tokens of (+-1 per token-hash bit i).
     Computed as 64 conditional-sum aggregates — one shuffle row per
-    doc, no Python."""
+    doc, no Python.
+
+    ``portable=True`` uses the 60-bit md5-derived token hash
+    (functions/porthash.py) and a 60-bit fingerprint, so a DuckDB
+    oracle can rebuild the fingerprint bit-identically (no sign-bit
+    special case — the value stays non-negative)."""
+    n_bits = 60 if portable else 64
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if portable:
+        from ..functions.porthash import portable_hash64
+
+        hashed = toks.select(id_col, portable_hash64("tok").alias("h"))
+    else:
+        hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
     bit_sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.expr(f"(h >> {i}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"_b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     # assemble the fingerprint: set bit i where the sum is positive.
-    # bit 63 via two 62/1-bit shifts keeps the arithmetic in signed
-    # long range without overflow surprises.
+    # In the 64-bit form, bit 63 is added as the long's min value to
+    # keep the arithmetic in signed range without overflow surprises.
     expr = " + ".join(
-        f"(CASE WHEN _b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)" for i in range(63)
+        f"(CASE WHEN _b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(min(n_bits, 63))
     )
-    return bit_sums.select(
-        id_col,
-        (F.expr(expr) + F.expr("CASE WHEN _b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END")).alias(
-            "simhash"
-        ),
-    )
+    fp = F.expr(expr)
+    if n_bits == 64:
+        fp = fp + F.expr(
+            "CASE WHEN _b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"
+        )
+    return bit_sums.select(id_col, fp.alias("simhash"))
 
 
 def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:

@@ -1,10 +1,14 @@
 """LLM-data-pipeline queries: deduplication, similarity search, text
 analysis over the ``documents`` / ``embeddings`` tables.
 
-Oracle-able where DuckDB can express the same semantics (exact dedup,
-n-gram Jaccard); rows-only where the result depends on engine hashing
-(MinHash/SimHash use xxhash64) — those carry planted-duplicate pytest
-coverage instead (tests/test_dedup.py).
+Oracle-able wherever DuckDB can express the same semantics — which,
+via the portable md5 hash family (functions/porthash.py), now includes
+MinHash (dedup_minhash_portable), SimHash fingerprints (text_simhash),
+and winnowing (text_fingerprint). The xxhash64 production variants
+(dedup_minhash_pairs, dedup_simhash_pairs) stay rows-only and carry
+planted-duplicate pytest coverage instead (tests/test_dedup.py);
+similarity_ivf_topk is approximate by design and is recall-tested
+against the exact query.
 """
 
 from __future__ import annotations
@@ -58,7 +62,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_docs(spark, sf_dir))
+    """Per-doc SimHash fingerprints in the portable 60-bit form, so
+    the DuckDB oracle rebuilds every fingerprint bit-identically; the
+    pair query (dedup_simhash_pairs) keeps the production 64-bit
+    xxhash64 form."""
+    return simhash(_docs(spark, sf_dir), portable=True)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,3 +381,40 @@ def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: fl
 
 
 ORACLES["dedup_minhash_portable"] = _minhash_portable_oracle_sql()
+
+
+def _simhash_portable_oracle_sql(n_bits: int = 60) -> str:
+    """DuckDB replay of the portable SimHash: same normalize/split,
+    same per-seed token hash, same sign-of-bit-sums fingerprint."""
+    from ..functions.porthash import portable_hash64_sql
+
+    ph = portable_hash64_sql("tok")
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, u.tok AS tok
+            FROM (SELECT doc_id,
+                         string_split(regexp_replace(trim(lower(text)),
+                                                     '\\s+', ' ', 'g'), ' ') AS ts
+                  FROM documents) d,
+                 unnest(d.ts) AS u(tok)
+            WHERE length(u.tok) > 0
+        ), hashed AS (
+            SELECT doc_id, {ph} AS h FROM toks
+        ), sums AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {assemble} AS simhash FROM sums
+    """
+
+
+ORACLES["text_simhash"] = _simhash_portable_oracle_sql()
