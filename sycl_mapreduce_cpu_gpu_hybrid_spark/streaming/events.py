@@ -179,3 +179,37 @@ def stateful_running_max(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_to_parquet(result: DataFrame, path: str, checkpoint: str) -> None:
+    """Append-mode parquet streaming sink with a checkpoint: the
+    durable analog of the reference's output.txt sink
+    (src/main.cpp:55-73) — exactly-once per micro-batch via the
+    checkpoint/WAL, safe to restart. Drains the available backlog
+    (availableNow) then stops."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_foreach_batch(
+    result: DataFrame, sink, checkpoint: str
+) -> None:
+    """foreachBatch escape hatch: ``sink(batch_df, batch_id)`` runs
+    arbitrary batch-DataFrame logic (merge/upsert, multi-table write)
+    per micro-batch. The checkpoint makes redelivery at-least-once;
+    sinks must be idempotent on (batch_id) — e.g. write to a
+    batch-keyed path or MERGE on a key."""
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -78,3 +78,37 @@ def test_stateful_running_max(spark, sf_dir):
     )
     cols = ["user_id", "n_events", "max_value"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stream_to_parquet,
+    )
+
+    deduped = dedup_within_watermark(stream_events(spark, sf_dir))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_to_parquet(deduped, out, ckpt)
+    back = spark.read.parquet(out)
+    n = load_table(spark, sf_dir, "events").count()
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+
+
+def test_stream_foreach_batch_idempotent_paths(spark, sf_dir, tmp_path):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stream_foreach_batch,
+    )
+
+    base = str(tmp_path / "batches")
+
+    def sink(batch_df, batch_id):
+        # batch-keyed path: redelivery overwrites, never duplicates
+        batch_df.write.mode("overwrite").parquet(f"{base}/b{batch_id}")
+
+    stream_foreach_batch(
+        dedup_within_watermark(stream_events(spark, sf_dir)),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    back = spark.read.parquet(f"{base}/*")
+    assert back.count() == load_table(spark, sf_dir, "events").count()
