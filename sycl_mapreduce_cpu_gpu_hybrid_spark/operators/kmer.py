@@ -50,11 +50,13 @@ def _validate_k(k: int, enforce_reference_cap: bool) -> None:
 
 
 # Spread the map phase across cores only when the corpus is big enough
-# that per-task compute (~1M chars/s/core for the interpreted window
-# extract) dominates per-task overhead (~10-50ms). Below this, a single
-# task is strictly faster — measured at sf0.1 (1.5M chars): 1 task
-# ≈ 1.7s stable vs 32 tasks ≈ 9-14s (scheduling + contention noise).
-SPREAD_MIN_CHARS = 8_000_000
+# that per-task compute dominates the repartition's fixed cost
+# (~0.1-0.2s shuffle setup). Measured on an idle host: sf0.1
+# (1.5M chars) 1 task 1.5s vs 32 tasks 0.45-0.58s (3x win); sf0.01
+# (150K chars) 0.28s vs 0.53s (spread loses). Crossover sits between,
+# so the floor is 1M chars; an earlier 8M floor came from a
+# measurement polluted by host CPU-steal noise.
+SPREAD_MIN_CHARS = 1_000_000
 # parquet on-disk → in-memory text decompression fudge for plan stats
 _DECOMPRESS_FUDGE = 3
 
