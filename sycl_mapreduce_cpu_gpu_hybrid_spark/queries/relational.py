@@ -211,6 +211,40 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two partial views of orders (statuses
+    split), preserving unmatched rows from both sides — the join shape
+    the reference's verifier itself is (scripts/verifier.py:22-36
+    union-of-keysets diff)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    b = o.where(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio_b")
+    )
+    return a.join(b, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.round("price_a", 2).alias("price_a"),
+        "prio_b",
+    )
+
+
+def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above the global average
+    price (Catalyst plans the subquery once, broadcasts the scalar)."""
+    spark_sf = sf_dir  # table registration below
+    o = _t(spark, spark_sf, "orders")
+    o.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM _orders_ssq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM _orders_ssq)
+        """
+    )
+
+
 def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join keeping order-less customers (count = 0)."""
     c = _t(spark, sf_dir, "customer")
@@ -403,6 +437,8 @@ QUERIES = {
     "agg_pivot": agg_pivot,
     "join_inner_agg": join_inner_agg,
     "join_left_count": join_left_count,
+    "join_full_outer": join_full_outer,
+    "join_scalar_subquery": join_scalar_subquery,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_multi_broadcast": join_multi_broadcast,
@@ -506,6 +542,20 @@ ORACLES = {
                round(sum(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "join_full_outer": """
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               round(a.o_totalprice, 2) AS price_a,
+               b.o_orderpriority AS prio_b
+        FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus <> 'F') a
+        FULL OUTER JOIN
+             (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000) b
+        ON a.o_orderkey = b.o_orderkey
+    """,
+    "join_scalar_subquery": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
     """,
     "join_left_count": """
         SELECT c_custkey, count(o_orderkey) AS n_orders,
