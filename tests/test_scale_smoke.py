@@ -1,0 +1,63 @@
+"""Scale smoke: replicate the corpus 8x in-memory (~12M chars) and
+check the operators' invariants and plan behavior hold as data grows —
+the closest local[N] gets to a scale-up rehearsal.
+
+Replication with remapped doc_ids multiplies every k-mer count by the
+replication factor, giving an exact oracle-free invariant; the spread
+repartition must engage (the whole point of the size threshold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import (
+    kmer_count,
+    total_kmers,
+)
+from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+REPLICAS = 8
+
+
+def _big_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    return docs.crossJoin(
+        spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * n).alias("doc_id"),
+        "text",
+    )
+
+
+def test_replicated_counts_scale_exactly(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    big = _big_docs(spark, sf_dir)
+    base = {
+        r["word"]: r["cnt"] for r in kmer_count(docs, k=8, min_count=1).collect()
+    }
+    scaled = {
+        r["word"]: r["cnt"] for r in kmer_count(big, k=8, min_count=1).collect()
+    }
+    assert scaled == {w: c * REPLICAS for w, c in base.items()}
+
+
+def test_total_identity_at_scale(spark, sf_dir):
+    big = _big_docs(spark, sf_dir)
+    total = total_kmers(big, k=8).collect()[0][0]
+    base = total_kmers(load_table(spark, sf_dir, "documents"), k=8).collect()[0][0]
+    assert total == base * REPLICAS
+
+
+def test_exact_dedup_finds_planted_replicas(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import exact_dedup
+
+    big = _big_docs(spark, sf_dir)
+    groups = exact_dedup(big)
+    # every distinct text now has exactly REPLICAS x its base copies
+    base_groups = exact_dedup(load_table(spark, sf_dir, "documents"))
+    got = {r["content_hash"]: r["n_copies"] for r in groups.collect()}
+    want = {
+        r["content_hash"]: r["n_copies"] * REPLICAS for r in base_groups.collect()
+    }
+    assert got == want
