@@ -32,3 +32,21 @@ def portable_hash64_sql(expr: str, seed: int = 0) -> str:
     """DuckDB side: the same value as :func:`portable_hash64`."""
     salted = f"({expr} || '{SEP}{seed}')" if seed else expr
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
+
+
+def rademacher_matrix(n_rows: int, n_cols: int, tag: str = "plane") -> list[list[int]]:
+    """Deterministic ±1 matrix derived from md5 — the shared-constants
+    source for portable random-hyperplane LSH: the Spark projection
+    kernel and the generated DuckDB oracle both consume THIS matrix,
+    so the two can never drift (same pattern as the portable hash
+    family above). Entry (i, j) is the sign of the first hex nibble of
+    md5('{tag}:{i}:{j}')."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for j in range(n_cols)
+        ]
+        for i in range(n_rows)
+    ]

@@ -350,12 +350,26 @@ def ngram_jaccard_pairs(
     This is the exact-verify stage run after LSH at scale; here it is
     also a standalone DuckDB-oracleable query.
     """
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
-    n_docs = docs.select(id_col).distinct().count()
-    df_cap = int(n_docs * max_doc_freq_frac)
+    sh = kmer_explode(
+        docs.select(id_col, text_col),
+        k=k,
+        text_col=text_col,
+        keep_cols=[id_col],
+        enforce_reference_cap=False,
+        spread=True,
+    ).select(id_col, F.col("word").alias("shingle"))
+    # df cap as a lazy broadcast scalar (one 1-row aggregate inside the
+    # same DAG — no eager driver-side count at plan-construction time),
+    # clamped to >= 1 so corpora under 1/max_doc_freq_frac docs don't
+    # silently drop every shingle and return an empty pair set
+    n_docs = docs.agg(F.countDistinct(F.col(id_col)).alias("_n"))
+    df_cap = F.greatest(F.lit(1), F.floor(F.col("_n") * F.lit(max_doc_freq_frac)))
     idx = (
         sh.groupBy("shingle")
+        # collect_set IS the per-shingle doc dedup — feeding it raw
+        # shingle instances avoids a whole extra distinct shuffle
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
+        .crossJoin(F.broadcast(n_docs))
         .where(F.size("ds") <= df_cap)
         .select("ds")
     )
@@ -433,6 +447,7 @@ def embedding_lsh_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH.
 
@@ -440,28 +455,49 @@ def embedding_lsh_pairs(
     bit-signature; band buckets (``n_planes/bands`` bits each) gate an
     exact cosine verify, so only same-bucket pairs are ever scored —
     compute is bucket-bounded, never all-pairs. For two vectors at
-    angle theta, P[bit agrees] = 1 - theta/pi; with the 64-plane /
-    16-band default, even weakly similar pairs (cosine 0.4, the
-    synthetic fixture's near-dup regime) land in a shared band with
-    ~94% probability, and truly near-dup pairs (cosine >= 0.9)
-    essentially always. Recall is asserted against the exact operator
-    in tests.
+    angle theta, P[bit agrees] = 1 - theta/pi; near-dup pairs (cosine
+    >= 0.9) share a band with ~94% probability at the 64-plane /
+    8-band setting and ~99.98% at 16 bands, while near-orthogonal
+    pairs almost never do (8-band candidate rate ~3%). Recall is
+    asserted against the exact operator in tests.
 
-    The plane matrix is a deterministic function of ``seed`` (numpy
-    default_rng), tiny (n_planes x d), and lives in the projection
-    UDF's closure; the verify joins vectors back per candidate pair,
-    so vector payloads move only for candidates.
-    """
+    The plane matrix is tiny (n_planes x d) and lives in the
+    projection kernel's closure; the verify joins vectors back per
+    candidate pair and scores them in an Arrow-batched numpy kernel
+    (the JVM higher-order cosine is ~ms per pair — a non-starter for
+    candidate sets), so vector payloads move only for candidates.
+
+    ``portable=True`` swaps the Gaussian planes for the md5-derived
+    ±1 Rademacher matrix (functions/porthash.rademacher_matrix) and
+    projects *integer-quantized* vectors (floor(x * 1e6) — every
+    product and partial sum stays an integer below 2^53, so the
+    float64 arithmetic is EXACT and order-independent), which lets a
+    DuckDB oracle rebuild every sign bit identically. Production
+    callers keep the Gaussian default."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    from .similarity import cosine_sim
+    from pyspark.sql.pandas.functions import pandas_udf
 
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     r = n_planes // bands
     planes_by_dim: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        if d not in planes_by_dim:
+            if portable:
+                from ..functions.porthash import rademacher_matrix
+
+                planes_by_dim[d] = np.array(
+                    rademacher_matrix(n_planes, d), dtype=np.float64
+                )
+            else:
+                planes_by_dim[d] = np.random.default_rng(seed).standard_normal(
+                    (n_planes, d)
+                )
+        return planes_by_dim[d]
 
     out_schema = f"{id_col} long, bits long"
 
@@ -470,12 +506,9 @@ def embedding_lsh_pairs(
             if not len(pdf):
                 continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d = v.shape[1]
-            if d not in planes_by_dim:
-                planes_by_dim[d] = np.random.default_rng(seed).standard_normal(
-                    (n_planes, d)
-                )
-            bits = (v @ planes_by_dim[d].T) >= 0  # (batch, n_planes)
+            if portable:
+                v = np.floor(v * 1_000_000.0)
+            bits = (v @ _planes(v.shape[1]).T) >= 0  # (batch, n_planes)
             packed = np.zeros(len(v), dtype=np.int64)
             for i in range(n_planes):
                 packed |= bits[:, i].astype(np.int64) << i
@@ -506,11 +539,27 @@ def embedding_lsh_pairs(
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
+    # no annotations: postponed-evaluation strings ('pd.Series') from
+    # `from __future__ import annotations` break pandas_udf inference
+    def _pair_cos_fn(va, vb):
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        a = np.array(list(va), dtype=np.float64)
+        b = np.array(list(vb), dtype=np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        dots = np.einsum("ij,ij->i", a, b)
+        return pd.Series(np.round(dots / (na * nb), 6))
+
+    pair_cos = pandas_udf(_pair_cos_fn, returnType="double")
+
     va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", F.round(cosine_sim("_va", "_vb"), 6).alias("sim"))
+        .select("a", "b", pair_cos("_va", "_vb").alias("sim"))
         .where(F.col("sim") >= threshold)
     )

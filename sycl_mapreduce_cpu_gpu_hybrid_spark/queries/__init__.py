@@ -19,13 +19,21 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declared queries, ORACLED-FIRST: every query with a DuckDB
+    oracle precedes every rows-only one, so a driver that evaluates a
+    bounded prefix of the inventory always covers the full value-hash
+    surface before the (weaker) rows-only checks."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name!r}")
             out[name] = fn
-    return out
+    oracled = all_oracles()
+    return {
+        **{k: v for k, v in out.items() if k in oracled},
+        **{k: v for k, v in out.items() if k not in oracled},
+    }
 
 
 def all_oracles() -> dict[str, str]:

@@ -21,25 +21,23 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events replayed through the streaming engine (file source ->
-    watermark -> tumbling windows -> availableNow drain). The oracle
-    is the batch equivalent — 1-hour window starts == date_trunc."""
-    return stream_tumbling_to_table(spark, sf_dir)
+    watermark -> dropDuplicatesWithinWatermark on event_id -> tumbling
+    windows -> availableNow drain). The dedup stage is the exactly-
+    once ingestion guard every production stream runs before a
+    windowed aggregate (bounded state: ids expire with the watermark);
+    event_id is unique in the fixture, so the batch oracle — 1-hour
+    window starts == date_trunc — is unchanged."""
+    return stream_tumbling_to_table(spark, sf_dir, dedup_key="event_id")
 
 
-def udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched scalar pandas_udf kernel over documents —
-    deliberately SQL-replicable so the Python kernel path itself
-    passes the value-hash gate."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    vr = vowel_ratio_udf()
-    return docs.select("doc_id", F.round(vr("text"), 4).alias("vowel_ratio"))
-
-
-def udf_grouped_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregate kernel (GROUPED_AGG pandas_udf) — the
-    Mapped::operator+ combiner analog (src/GPU_Module/GPU.cpp:20-27)
-    as a user-registered reduction: per-event-type RMS of value.
-    SQL-replicable so the custom-agg path passes the value hash."""
+def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both user-kernel extension points in ONE plan: the Arrow-batched
+    scalar pandas_udf (vectorized map — vowel ratio per document) feeds
+    a GROUPED_AGG pandas_udf (custom combiner, the Mapped::operator+
+    analog, src/GPU_Module/GPU.cpp:20-27 — per-bucket RMS of the
+    ratios). Deliberately SQL-replicable so the Python kernel path
+    itself passes the value-hash gate; the RMS is DECIMAL(18,4)-
+    canonicalized like every cross-engine rounded average."""
     import numpy as np
     import pandas as pd
 
@@ -49,9 +47,20 @@ def udf_grouped_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(np.sqrt(np.mean(np.square(s.to_numpy(dtype="float64")))))
 
     kernel = register_grouped_agg_kernel(spark, "rms_kernel", rms, "double")
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(kernel("value"), 4).alias("rms_value")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates, so the count rides the same Arrow path
+    count_kernel = register_grouped_agg_kernel(
+        spark, "count_kernel", lambda s: len(s), "long"
+    )
+    vr = vowel_ratio_udf()
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return (
+        docs.select("doc_id", vr("text").alias("_ratio"))
+        .groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            count_kernel("_ratio").alias("n_docs"),
+            F.round(kernel("_ratio"), 4).cast("decimal(18,4)").alias("rms_ratio"),
+        )
     )
 
 
@@ -72,8 +81,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
-    "udf_vowel_ratio": udf_vowel_ratio,
-    "udf_grouped_rms": udf_grouped_rms,
+    "udf_kernel_pack": udf_kernel_pack,
     "multimodal_features": multimodal_features,
 }
 
@@ -100,15 +108,15 @@ ORACLES = {
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
-    "udf_grouped_rms": """
-        SELECT event_type,
-               round(sqrt(avg(value * value)), 4) AS rms_value
-        FROM events GROUP BY event_type
-    """,
-    "udf_vowel_ratio": """
-        SELECT doc_id,
-               round(len(regexp_extract_all(text, '[aeiou]')) * 1.0
-                     / greatest(length(text), 1), 4) AS vowel_ratio
-        FROM documents WHERE doc_id < 200
+    "udf_kernel_pack": """
+        WITH r AS (
+            SELECT doc_id, doc_id % 10 AS bucket,
+                   len(regexp_extract_all(text, '[aeiou]')) * 1.0
+                       / greatest(length(text), 1) AS ratio
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT bucket, count(*) AS n_docs,
+               CAST(round(sqrt(avg(ratio * ratio)), 4) AS DECIMAL(18,4)) AS rms_ratio
+        FROM r GROUP BY bucket
     """,
 }

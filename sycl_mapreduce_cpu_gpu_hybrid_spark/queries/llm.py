@@ -31,7 +31,7 @@ from ..operators.similarity import (
     queries_from_corpus,
 )
 from ..operators.dedup import (
-    embedding_near_dup_pairs,
+    embedding_lsh_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -69,13 +69,29 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), portable=True)
 
 
+_EMB_LSH = dict(threshold=0.4, n_planes=64, bands=8, max_bucket=500, dim=64)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs. The synthetic embeddings
-    have no planted duplicates (max pairwise cosine ~0.51), so the
-    threshold sits at the fixture's high-similarity tail; real
-    pipelines run 0.9+."""
-    return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    """Embedding-cosine near-dup pairs on the PRODUCTION (scale) path:
+    random-hyperplane LSH banding gates an Arrow-batched exact-cosine
+    verify, so compute is bucket-bounded, never all-pairs — the shape
+    that survives when the corpus matrix stops fitting one executor.
+    Declared with the portable md5-Rademacher planes + integer-
+    quantized projections so the DuckDB oracle rebuilds every sign bit
+    and bucket identically (mirroring the minhash portable/production
+    split); the exact all-pairs operator (embedding_near_dup_pairs)
+    stays as the verify twin, with LSH recall pytest-asserted against
+    it. The synthetic embeddings have no planted duplicates (max
+    pairwise cosine ~0.6), so the threshold sits at the fixture's
+    high-similarity tail; real pipelines run 0.9+."""
+    return embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_EMB_LSH["threshold"],
+        n_planes=_EMB_LSH["n_planes"],
+        bands=_EMB_LSH["bands"],
+        max_bucket=_EMB_LSH["max_bucket"],
+        portable=True,
     )
 
 
@@ -104,7 +120,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count("text")).alias("ws_tokens"),
         F.sum(bpe_ish_token_count("text")).alias("bpe_tokens"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        # decimal-exact: the rounded double's last bits can differ
+        # between engines even when the 4-decimal value agrees
+        F.round(F.avg(F.length("text")), 4).cast("decimal(18,4)").alias("avg_chars"),
     )
 
 
@@ -169,7 +187,7 @@ ORACLES = {
                sum(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
                sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
-               round(avg(length(text)), 4) AS avg_chars
+               CAST(round(avg(length(text)), 4) AS DECIMAL(18,4)) AS avg_chars
         FROM documents GROUP BY lang
     """,
     "text_quality": r"""
@@ -214,17 +232,6 @@ ORACLES = {
         )
         WHERE rank <= 10
     """,
-    "dedup_embedding_pairs": """
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(
-                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND round(list_cosine_similarity(
-                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.4
-    """,
     "dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
                min(doc_id) AS keep_id,
@@ -239,7 +246,8 @@ ORACLES = {
             WHERE length(text) >= 6
         ), hot AS (
             SELECT g FROM sh GROUP BY g
-            HAVING count(*) > 0.02 * (SELECT count(DISTINCT doc_id) FROM documents)
+            HAVING count(*) > greatest(1, CAST(floor(
+                0.02 * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT))
         ), kept AS (
             SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
         ), sizes AS (
@@ -418,3 +426,72 @@ def _simhash_portable_oracle_sql(n_bits: int = 60) -> str:
 
 
 ORACLES["text_simhash"] = _simhash_portable_oracle_sql()
+
+
+def _embedding_lsh_oracle_sql(
+    n_planes: int, bands: int, threshold: float, max_bucket: int, dim: int
+) -> str:
+    """DuckDB replay of dedup_embedding_pairs: the SAME md5-Rademacher
+    plane matrix (functions/porthash.rademacher_matrix — shared
+    constants, so no drift is possible), the same integer-quantized
+    projections (floor(x*1e6): every product and partial sum is an
+    integer < 2^53, so float64 arithmetic is exact and order-
+    independent in both engines), the same band buckets, bucket cap,
+    and cosine threshold."""
+    from ..functions.porthash import rademacher_matrix
+
+    planes = rademacher_matrix(n_planes, dim)
+    r = n_planes // bands
+
+    def bit(p: int) -> str:
+        lits = ", ".join(f"{s}.0" for s in planes[p])
+        return f"(list_dot_product(qe, [{lits}]) >= 0)"
+
+    band_selects = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {bit(b * r + j)} THEN {1 << j} ELSE 0 END)" for j in range(r)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx, ({terms}) AS band_bits FROM q"
+        )
+    union = "\n            UNION ALL ".join(band_selects)
+    cos = (
+        "round(list_cosine_similarity("
+        "list_transform(ea.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 6)"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qe
+            FROM embeddings
+        ), banded AS (
+            {union}
+        ), ok AS (
+            SELECT band_idx, band_bits FROM banded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {max_bucket}
+        ), cand AS (
+            SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+            FROM banded la
+            JOIN banded lb ON la.band_idx = lb.band_idx
+                 AND la.band_bits = lb.band_bits
+                 AND la.vec_id < lb.vec_id
+            JOIN ok ON ok.band_idx = la.band_idx AND ok.band_bits = la.band_bits
+        )
+        SELECT cand.a, cand.b, {cos} AS sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.a
+        JOIN embeddings eb ON eb.vec_id = cand.b
+        WHERE {cos} >= {threshold}
+    """
+
+
+ORACLES["dedup_embedding_pairs"] = _embedding_lsh_oracle_sql(
+    n_planes=_EMB_LSH["n_planes"],
+    bands=_EMB_LSH["bands"],
+    threshold=_EMB_LSH["threshold"],
+    max_bucket=_EMB_LSH["max_bucket"],
+    dim=_EMB_LSH["dim"],
+)

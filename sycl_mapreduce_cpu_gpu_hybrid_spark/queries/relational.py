@@ -12,7 +12,11 @@ Scale notes, encoded in the plans rather than comments where possible:
   TakeOrderedAndProject — per-partition heaps + a driver merge of k
   rows, never a global sort;
 - double-typed aggregates are rounded in both engine and oracle so the
-  driver's value hash compares fixed reprs, not accumulation order.
+  driver's value hash compares fixed reprs, not accumulation order;
+  rounded *averages* (and quantiles) are additionally cast to
+  DECIMAL(18,n): round() yields a binary double whose repr can still
+  differ between engines in the last bits, and the decimal cast snaps
+  both to the same canonical grid point.
 """
 
 from __future__ import annotations
@@ -50,8 +54,10 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def predicates_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / LIKE / BETWEEN / null-test predicate family on part."""
+def predicates_case_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate family (IN / LIKE / BETWEEN / null-test) gating a
+    CASE WHEN / coalesce / nullif scalar-conditioning projection, all
+    in one pushed-down scan of part."""
     p = _t(spark, sf_dir, "part")
     return (
         p.where(
@@ -60,22 +66,19 @@ def predicates_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_size").between(10, 40)
             & F.col("p_retailprice").isNotNull()
         )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-
-
-def case_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN / coalesce / nullif scalar conditioning on customer."""
-    c = _t(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.when(F.col("c_acctbal") < 0, "overdrawn")
-        .when(F.col("c_acctbal") < 5000, "standard")
-        .otherwise("premium")
-        .alias("tier"),
-        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
-            "segment_ex"
-        ),
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.when(F.col("p_retailprice") < 1000, "budget")
+            .when(F.col("p_retailprice") < 1500, "standard")
+            .otherwise("premium")
+            .alias("tier"),
+            F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("OTHER")).alias(
+                "brand_ex"
+            ),
+        )
     )
 
 
@@ -107,8 +110,12 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped grouped aggregate (sum/avg/count) — partial
-    (map-side) aggregation collapses the shuffle to |groups| rows."""
+    """TPC-H Q1-shaped grouped aggregate (sum/avg/min/max/count) —
+    partial (map-side) aggregation collapses the shuffle to |groups|
+    rows. Rounded averages are cast to DECIMAL(18,4): the rounded
+    *binary double* can differ in its last bits between engines even
+    when the decimal value agrees, and a decimal snaps both to the
+    same canonical grid point."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-31"))
@@ -119,31 +126,29 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 4).cast("decimal(18,4)").alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).cast("decimal(18,4)").alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + interpolated quartile per group (sort-based
-    aggregation; at scale prefer approx_percentile — declared as the
-    separate rows-only agg_approx_distinct family)."""
+    aggregation buffering each group's values; see SCALING.md for the
+    size bound — beyond it use approx_percentile). Quantiles are
+    DECIMAL(18,4)-canonicalized like every cross-engine double."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.median("l_quantity"), 4).cast("decimal(18,4)").alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4)
+        .cast("decimal(18,4)")
+        .alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4)
+        .cast("decimal(18,4)")
+        .alias("p75_price"),
     )
 
 
@@ -166,20 +171,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total)."""
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two keys — all 4 grouping combinations,
+    a strict superset of ROLLUP's 3 (the rollup subtotals and grand
+    total are the cube rows where the trailing key is NULL), so one
+    query exercises both grouping-set expansions."""
     o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
-    )
-
-
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
 
 
@@ -321,7 +321,10 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).cast("decimal(18,2)").alias("avg_price"),
+        )
     )
 
 
@@ -358,26 +361,18 @@ def window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() analytic: price delta between consecutive orders."""
+def window_frames_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic (lag) + running-frame aggregate (rows unbounded
+    preceding..current) over the same partitioning — Spark evaluates
+    both in ONE Window physical operator (one shuffle + sort on
+    o_custkey), which is exactly why they belong in one query."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta"),
-    )
-
-
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-frame aggregate (rows unbounded preceding..current)."""
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
     )
 
 
@@ -395,45 +390,45 @@ def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2.7 set operations ----------------------------------------------------
 
 
-def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct): customers with a pending order or a 450k+ one."""
+def setop_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations in one query, results tagged by
+    operator: UNION (distinct) / INTERSECT / EXCEPT over customer-key
+    sets. Each leg plans its own distinct aggregation; the final
+    unionByName is a free concatenation (no extra shuffle)."""
     o = _t(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
-    b = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("custkey"))
-    return a.union(b).distinct()
 
+    def keys(cond) -> DataFrame:
+        return o.where(cond).select(F.col("o_custkey").alias("custkey"))
 
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers with both an urgent and a low-priority order."""
-    o = _t(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
+    union = (
+        keys(F.col("o_orderstatus") == "P")
+        .union(keys(F.col("o_totalprice") > 450000))
+        .distinct()
+        .select(F.lit("union").alias("op"), "custkey")
     )
-    b = o.where(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customers in the 400-450k spend band only."""
-    o = _t(spark, sf_dir, "orders")
-    a = o.where(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
-    b = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("custkey"))
-    return a.subtract(b)
+    intersect = (
+        keys(F.col("o_orderpriority") == "1-URGENT")
+        .intersect(keys(F.col("o_orderpriority") == "5-LOW"))
+        .select(F.lit("intersect").alias("op"), "custkey")
+    )
+    except_ = (
+        keys(F.col("o_totalprice") > 400000)
+        .subtract(keys(F.col("o_totalprice") > 450000))
+        .select(F.lit("except").alias("op"), "custkey")
+    )
+    return union.unionByName(intersect).unionByName(except_)
 
 
 QUERIES = {
     "filter_project_cast": filter_project_cast,
-    "predicates_pack": predicates_pack,
-    "case_null_pack": case_null_pack,
+    "predicates_case_pack": predicates_case_pack,
     "topk_orders": topk_orders,
     "sort_multikey": sort_multikey,
     "agg_pricing_summary": agg_pricing_summary,
-    "agg_minmax": agg_minmax,
     "agg_median": agg_median,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
-    "agg_rollup": agg_rollup,
-    "agg_cube": agg_cube,
+    "agg_rollup_cube": agg_rollup_cube,
     "agg_pivot": agg_pivot,
     "join_inner_agg": join_inner_agg,
     "join_left_count": join_left_count,
@@ -445,12 +440,9 @@ QUERIES = {
     "join_range_band": join_range_band,
     "asof_last_purchase": asof_last_purchase,
     "window_latest_order": window_latest_order,
-    "window_lag_delta": window_lag_delta,
-    "window_running_sum": window_running_sum,
+    "window_frames_pack": window_frames_pack,
     "window_rank_parts": window_rank_parts,
-    "setop_union": setop_union,
-    "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
+    "setop_pack": setop_pack,
 }
 
 ORACLES = {
@@ -461,21 +453,17 @@ ORACLES = {
         FROM lineitem
         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
     """,
-    "predicates_pack": """
-        SELECT p_partkey, p_brand, p_type, p_size
+    "predicates_case_pack": """
+        SELECT p_partkey, p_brand, p_type, p_size,
+               CASE WHEN p_retailprice < 1000 THEN 'budget'
+                    WHEN p_retailprice < 1500 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_ex
         FROM part
         WHERE p_type IN ('PROMO', 'ECONOMY')
           AND p_name LIKE '%gear%'
           AND p_size BETWEEN 10 AND 40
           AND p_retailprice IS NOT NULL
-    """,
-    "case_null_pack": """
-        SELECT c_custkey,
-               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
-                    WHEN c_acctbal < 5000 THEN 'standard'
-                    ELSE 'premium' END AS tier,
-               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_ex
-        FROM customer
     """,
     "topk_orders": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
@@ -494,25 +482,20 @@ ORACLES = {
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
+               CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-31'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "agg_minmax": """
-        SELECT o_orderpriority,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price,
-               count(*) AS n
-        FROM orders GROUP BY o_orderpriority
-    """,
     "agg_median": """
         SELECT l_linestatus,
-               round(median(l_quantity), 4) AS med_qty,
-               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+               CAST(round(median(l_quantity), 4) AS DECIMAL(18,4)) AS med_qty,
+               CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS p25_price,
+               CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DECIMAL(18,4)) AS p75_price
         FROM lineitem GROUP BY l_linestatus
     """,
     "agg_count_distinct": """
@@ -521,14 +504,10 @@ ORACLES = {
                count(DISTINCT l_partkey) AS distinct_part
         FROM lineitem GROUP BY l_returnflag
     """,
-    "agg_rollup": """
+    "agg_rollup_cube": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-    """,
-    "agg_cube": """
-        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "agg_pivot": """
         SELECT o_orderpriority,
@@ -585,7 +564,8 @@ ORACLES = {
         GROUP BY r_name
     """,
     "join_range_band": """
-        SELECT band, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+        SELECT band, count(*) AS n,
+               CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS avg_price
         FROM lineitem
         JOIN (VALUES ('under_10k', 0.0, 10000.0),
                      ('mid', 10000.0, 50000.0),
@@ -609,14 +589,10 @@ ORACLES = {
             FROM orders
         ) WHERE rn = 1
     """,
-    "window_lag_delta": """
+    "window_frames_pack": """
         SELECT o_orderkey,
                round(o_totalprice - lag(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
-        FROM orders
-    """,
-    "window_running_sum": """
-        SELECT o_orderkey,
+                   PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta,
                round(sum(o_totalprice) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
@@ -631,19 +607,23 @@ ORACLES = {
             FROM part
         ) WHERE rk <= 3
     """,
-    "setop_union": """
-        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
-        UNION
-        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
-    """,
-    "setop_intersect": """
-        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        INTERSECT
-        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-    "setop_except": """
-        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-        EXCEPT
-        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    "setop_pack": """
+        SELECT 'union' AS op, custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+            UNION
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        UNION ALL
+        SELECT 'except' AS op, custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+        )
     """,
 }

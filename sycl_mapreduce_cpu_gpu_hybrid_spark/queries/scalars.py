@@ -27,17 +27,24 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("k_path"), 4).alias("avg_k"),
+        # decimal-exact: round() alone leaves a binary double whose
+        # last bits (hence repr/hash) can differ between engines
+        F.round(F.avg("k_path"), 4).cast("decimal(18,4)").alias("avg_k"),
         F.sum(F.col("k_struct")).alias("sum_k"),
     )
 
 
-def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date_trunc tumbling day buckets (the batch shape of a streaming
-    tumbling window) + per-day aggregates."""
+def events_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time bucketing pack: date_trunc tumbling day buckets (the batch
+    shape of a streaming tumbling window) crossed with hour-of-day
+    extraction — one groupBy exercises both time-part surfaces, and
+    per-day / per-hour histograms are its marginals."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").alias("hod"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
@@ -45,15 +52,15 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-part extraction (hour-of-day histogram across all days)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy(F.hour("ts").alias("hod")).agg(F.count(F.lit(1)).alias("n"))
-
-
-def date_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval add, datediff, and date-part extraction on orders."""
+def date_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval add, datediff, date-part extraction — plus the map-type
+    function surface (construct, merge, look up, count, sort keys) —
+    over the same 1000-order slice, one scan."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("prio"), F.col("o_orderpriority")),
+    )
     return o.select(
         "o_orderkey",
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("d30"),
@@ -61,6 +68,10 @@ def date_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "prio").alias("prio"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
     )
 
 
@@ -114,59 +125,40 @@ def array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-type function surface: construct maps, merge them, look up
-    keys, count entries. The oracle computes the same scalars from the
-    base columns — the values must agree, the map machinery is the
-    thing under test on the Spark side."""
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
-    m = F.map_concat(
-        F.create_map(F.lit("status"), F.col("o_orderstatus")),
-        F.create_map(F.lit("prio"), F.col("o_orderpriority")),
-    )
-    return o.select(
-        "o_orderkey",
-        F.element_at(m, "status").alias("status"),
-        F.element_at(m, "prio").alias("prio"),
-        F.size(m).alias("n_keys"),
-        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
-    )
-
-
 QUERIES = {
     "events_json_extract": events_json_extract,
-    "events_daily": events_daily,
-    "events_hourly_histogram": events_hourly_histogram,
-    "date_arith_pack": date_arith_pack,
+    "events_time_agg": events_time_agg,
+    "date_map_pack": date_map_pack,
     "string_pack": string_pack,
     "math_pack": math_pack,
     "array_pack": array_pack,
-    "map_pack": map_pack,
 }
 
 ORACLES = {
     "events_json_extract": """
         SELECT event_type, count(*) AS n,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               CAST(round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                    AS DECIMAL(18,4)) AS avg_k,
                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
         FROM events GROUP BY event_type
     """,
-    "events_daily": """
+    "events_time_agg": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(extract(hour FROM ts) AS INT) AS hod,
                count(*) AS n, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY 1
+        FROM events GROUP BY 1, 2
     """,
-    "events_hourly_histogram": """
-        SELECT CAST(extract(hour FROM ts) AS INT) AS hod, count(*) AS n
-        FROM events GROUP BY 1
-    """,
-    "date_arith_pack": """
+    "date_map_pack": """
         SELECT o_orderkey,
                CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS d30,
                CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS age_days,
                CAST(extract(year FROM o_orderdate) AS INT) AS yr,
                CAST(extract(month FROM o_orderdate) AS INT) AS mo,
-               CAST(extract(day FROM o_orderdate) AS INT) AS dom
+               CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+               o_orderstatus AS status,
+               o_orderpriority AS prio,
+               2 AS n_keys,
+               'prio,status' AS keys_csv
         FROM orders WHERE o_orderkey <= 1000
     """,
     "string_pack": """
@@ -187,14 +179,6 @@ ORACLES = {
                CAST(ceil(l_tax) AS BIGINT) AS ceil_tax,
                CAST(floor(l_tax) AS BIGINT) AS floor_tax
         FROM lineitem WHERE l_orderkey <= 500
-    """,
-    "map_pack": """
-        SELECT o_orderkey,
-               o_orderstatus AS status,
-               o_orderpriority AS prio,
-               2 AS n_keys,
-               'prio,status' AS keys_csv
-        FROM orders WHERE o_orderkey <= 1000
     """,
     "array_pack": """
         SELECT vec_id,

@@ -46,11 +46,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
     """Watermarked tumbling-window counts per event type. Works on a
     stream (late data beyond ``watermark`` dropped, state evicted per
-    window close) and on a batch frame (watermark is a no-op there)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    window close) and on a batch frame (watermark is a no-op there).
+    Pass ``watermark=None`` when the stream is already watermarked
+    upstream (e.g. after a dedup stage) — redefining it is an error."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark is not None
+        else events
+    )
     return (
         src.groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -101,10 +109,25 @@ def run_available_now(result: DataFrame, name: str, mode: str = "complete") -> N
     q.awaitTermination()
 
 
-def stream_tumbling_to_table(spark: SparkSession, sf_dir: str, name: str = "stream_tumbling") -> DataFrame:
+def stream_tumbling_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "stream_tumbling",
+    dedup_key: str | None = None,
+) -> DataFrame:
     """End-to-end: stream the events fixture through watermarked
-    tumbling windows, drain with availableNow, return the result."""
-    result = tumbling_counts(stream_events(spark, sf_dir))
+    tumbling windows, drain with availableNow, return the result.
+    ``dedup_key`` inserts a dropDuplicatesWithinWatermark stage before
+    the aggregation — the exactly-once ingestion guard (state bounded
+    by the watermark horizon, not the stream length)."""
+    src = stream_events(spark, sf_dir)
+    watermark: str | None = "2 hours"
+    if dedup_key is not None:
+        src = src.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            [dedup_key]
+        )
+        watermark = None  # already declared upstream of the dedup
+    result = tumbling_counts(src, watermark=watermark)
     run_available_now(result, name, mode="complete")
     return spark.table(name)
 
