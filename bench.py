@@ -34,14 +34,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sycl_mapreduce_cpu_gpu_hybrid_spark.plans.metrics import (  # noqa: E402
+    METRIC_CPU_TEMP_C,
+    METRIC_CPU_UTIL_PCT,
+    METRIC_EXEC_PEAK_MEM_MB,
+    METRIC_HOST_MEM_MB,
+    METRIC_SHUFFLE_READ_MB,
+    METRIC_SHUFFLE_WRITE_MB,
     METRIC_TIME_MS,
+    CpuMonitor,
     MetricsRecorder,
+    StageMetricsCapture,
     timed,
 )
 
 POINTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "points.txt")
 SWEEP_KS = [2, 4, 8, 16]
 SWEEP_NS = [100, 200, 400]
+# local-size permutation sweep, mirroring runprogram.sh:119-129's
+# work-group sizes 1..512 at fixed N; the Spark local-size knob is
+# spark.sql.shuffle.partitions
+SWEEP_LS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
 
 
 def force(df) -> None:
@@ -56,22 +68,43 @@ def _kmer_k(name: str) -> int:
 def run_inventory(spark, sf_dir: str, recorder: MetricsRecorder, n_scale: int, ls: int) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    cpu = CpuMonitor()
+    capture = StageMetricsCapture(spark)
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # per-point warm-up, excluded from metrics (runprogram.sh:29-41)
         force(fn(spark, sf_dir))
         # min of two timed runs: the host shows episodic CPU-steal
-        # bursts; min is the standard noise-robust point estimate
+        # bursts; min is the standard noise-robust point estimate.
+        # Secondary metrics bracket only the LAST run (one clean
+        # START..STOP window, reference Metric() protocol).
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            if i == 1:
+                stages_before = capture.stages()
+                cpu.snapshot_start()
             with timed() as t:
                 force(fn(spark, sf_dir))
             best = min(best, t["sec"])
         timings[name] = round(best, 4)
-        recorder.record(
-            n=n_scale, k=_kmer_k(name), ls=ls, lsc=ls, mode="spark-local",
-            metric=METRIC_TIME_MS, value=round(t["sec"] * 1000, 3),
-        )
+
+        def rec(metric: int, value: float) -> None:
+            recorder.record(
+                n=n_scale, k=_kmer_k(name), ls=ls, lsc=ls, mode="spark-local",
+                metric=metric, value=value,
+            )
+
+        # points.txt records the same min-of-2 estimate the JSON reports
+        rec(METRIC_TIME_MS, round(best * 1000, 3))
+        rec(METRIC_CPU_UTIL_PCT, round(cpu.util_since_snapshot(), 2))
+        rec(METRIC_HOST_MEM_MB, cpu.mem_used_mb())
+        if (temp := cpu.temp_c()):
+            rec(METRIC_CPU_TEMP_C, temp)
+        if capture.enabled:
+            d = capture.delta(stages_before, capture.stages())
+            rec(METRIC_EXEC_PEAK_MEM_MB, round(d["peak_exec_mem_mb"], 3))
+            rec(METRIC_SHUFFLE_WRITE_MB, round(d["shuffle_write_mb"], 3))
+            rec(METRIC_SHUFFLE_READ_MB, round(d["shuffle_read_mb"], 3))
     return timings
 
 
@@ -99,6 +132,37 @@ def run_sweep(spark, sf_dir: str, recorder: MetricsRecorder, ls: int) -> None:
             )
 
 
+def run_ls_sweep(spark, sf_dir: str, recorder: MetricsRecorder) -> None:
+    """The reference's local-size permutation sweep (runprogram.sh:
+    119-129): work-group sizes 1..512 at fixed N. The Spark local-size
+    knob is ``spark.sql.shuffle.partitions``; AQE coalescing is
+    suspended for the sweep so the requested partition count is the
+    one actually executed, then restored."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import kmer_count
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.corpus import truncate_docs
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    prior_ls = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        n_fixed = 400
+        for ls in SWEEP_LS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(ls))
+            q = kmer_count(truncate_docs(docs, n_fixed), k=8, min_count=2)
+            force(q)  # warm-up, suppressed (runprogram.sh:29-41)
+            with timed() as t:
+                force(q)
+            recorder.record(
+                n=n_fixed, k=8, ls=ls, lsc=ls, mode="spark-local",
+                metric=METRIC_TIME_MS, value=round(t["sec"] * 1000, 3),
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_ls)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prior_coalesce)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -106,7 +170,9 @@ def main() -> None:
 
     from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # UI on for the bench session only: the REST status API is how
+    # StageMetricsCapture reads per-stage shuffle/memory metrics
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     ls = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_scale = int((sf or 0) * 1_000_000)
 
@@ -114,6 +180,7 @@ def main() -> None:
     timings = run_inventory(spark, sf_dir, recorder, n_scale, ls)
     if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
         run_sweep(spark, sf_dir, recorder, ls)
+        run_ls_sweep(spark, sf_dir, recorder)
     recorder.write_points(POINTS_PATH)
 
     print(

@@ -98,8 +98,11 @@ def lang_scores(col: Column | str) -> Column:
 
 
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
-    """Predicted language: argmax of stopword hits (ties broken by
-    list order via max-on-struct), 'und' (undetermined) below
+    """Predicted language: argmax of stopword hits (ties broken by the
+    lexicographically greatest language code — array_max over
+    struct(hits, lang) compares lang strings when hits tie, so an en/fr
+    tie picks 'fr'; the generated DuckDB oracle mirrors this with ORDER
+    BY hits DESC, lang DESC), 'und' (undetermined) below
     ``min_hits``."""
     scores = lang_scores(col)
     best = F.array_max(

@@ -53,8 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # Scope the legacy flag to this read: the reader captures it at
+    # DataFrame creation (verified: execution after restore still
+    # reads longs), so restoring immediately keeps unrelated
+    # spark.read.parquet calls in the session on the loud
+    # PARQUET_TYPE_ILLEGAL behavior instead of silently yielding longs.
+    flag = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(flag, None)
+    spark.conf.set(flag, "true")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution under the flag
+    finally:
+        if prior is None:
+            spark.conf.unset(flag)
+        else:
+            spark.conf.set(flag, prior)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -8,6 +8,7 @@ repartition must engage (the whole point of the size threshold)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import (
@@ -61,3 +62,31 @@ def test_exact_dedup_finds_planted_replicas(spark, sf_dir):
         r["content_hash"]: r["n_copies"] * REPLICAS for r in base_groups.collect()
     }
     assert got == want
+
+
+def test_exact_percentile_hot_group(spark):
+    """Worst-case rehearsal for the agg_median scale bound
+    (SCALING.md "Exact quantiles"): the whole sf0.01 lineitem table
+    collapsed into ONE group — the hottest group the operator can see
+    locally — with the exact result checked against DuckDB on the same
+    parquet. The buffer holds distinct values, so this stays exact and
+    correct; the documented envelope is ~1e7 distincts per group."""
+    import duckdb
+
+    path = "/root/testdata/sf0.01/lineitem.parquet"
+    li = spark.read.parquet(path)
+    row = (
+        li.groupBy(F.lit(1).alias("g"))
+        .agg(
+            F.median("l_extendedprice").alias("med"),
+            F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        )
+        .collect()[0]
+    )
+    want = duckdb.sql(
+        "SELECT median(l_extendedprice) AS med,"
+        " quantile_cont(l_extendedprice, 0.75) AS p75"
+        f" FROM read_parquet('{path}')"
+    ).fetchone()
+    assert row["med"] == pytest.approx(want[0], abs=1e-6)
+    assert row["p75"] == pytest.approx(want[1], abs=1e-6)
