@@ -107,6 +107,9 @@ def minhash_signatures(
         text_col=text_col,
         keep_cols=[id_col],
         enforce_reference_cap=False,
+        # per-shingle work here is 2-16 hashes, not a count: fanning
+        # out wins even below the auto-spread size floor (measured
+        # ~1.6x xor-rotate, ~10x portable md5 on the sf0.1 corpus)
         spread=True,
     )
     if portable:

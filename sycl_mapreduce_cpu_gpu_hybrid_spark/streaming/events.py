@@ -114,12 +114,22 @@ def stream_tumbling_to_table(
     sf_dir: str,
     name: str = "stream_tumbling",
     dedup_key: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """End-to-end: stream the events fixture through watermarked
     tumbling windows, drain with availableNow, return the result.
     ``dedup_key`` inserts a dropDuplicatesWithinWatermark stage before
     the aggregation — the exactly-once ingestion guard (state bounded
-    by the watermark horizon, not the stream length)."""
+    by the watermark horizon, not the stream length).
+
+    ``state_partitions`` sizes the stateful shuffles: a streaming
+    query's state partitioning is pinned at the first checkpoint, so
+    it must be sized to *state cardinality* (distinct keys within the
+    watermark horizon), never inherited from the batch shuffle
+    parallelism — each state-store partition pays checkpoint IO per
+    micro-batch whether or not it holds keys. Size up for a Kafka
+    deployment with millions of in-horizon keys; pass ``None`` to
+    inherit the session's shuffle parallelism."""
     src = stream_events(spark, sf_dir)
     watermark: str | None = "2 hours"
     if dedup_key is not None:
@@ -128,7 +138,13 @@ def stream_tumbling_to_table(
         )
         watermark = None  # already declared upstream of the dedup
     result = tumbling_counts(src, watermark=watermark)
-    run_available_now(result, name, mode="complete")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        run_available_now(result, name, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 
