@@ -271,12 +271,10 @@ def _langid_oracle_sql() -> str:
     STOPWORDS table the Spark expression uses, so the two can never
     drift. Tie-break mirrors Spark's array_max over struct(hits,
     lang): max hits, then lexicographically greatest lang."""
+    from ..functions.oracle_gen import sql_values_from_mapping
     from ..functions.text import STOPWORDS
 
-    values = ",\n              ".join(
-        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
-        for lang, words in STOPWORDS.items()
-    )
+    values = sql_values_from_mapping(STOPWORDS, "l", ["lang", "words"])
     return f"""
         WITH toks AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -284,8 +282,7 @@ def _langid_oracle_sql() -> str:
         ), scores AS (
             SELECT doc_id, l.lang,
                    len(list_filter(t, x -> list_contains(l.words, x))) AS hits
-            FROM toks, (VALUES
-              {values}) AS l(lang, words)
+            FROM toks, {values}
         ), best AS (
             SELECT doc_id, lang, hits,
                    row_number() OVER (PARTITION BY doc_id
@@ -438,14 +435,14 @@ def _embedding_lsh_oracle_sql(
     integer < 2^53, so float64 arithmetic is exact and order-
     independent in both engines), the same band buckets, bucket cap,
     and cosine threshold."""
+    from ..functions.oracle_gen import sql_float_list
     from ..functions.porthash import rademacher_matrix
 
     planes = rademacher_matrix(n_planes, dim)
     r = n_planes // bands
 
     def bit(p: int) -> str:
-        lits = ", ".join(f"{s}.0" for s in planes[p])
-        return f"(list_dot_product(qe, [{lits}]) >= 0)"
+        return f"(list_dot_product(qe, {sql_float_list(planes[p])}) >= 0)"
 
     band_selects = []
     for b in range(bands):

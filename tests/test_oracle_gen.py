@@ -1,0 +1,93 @@
+"""Drift guards for generated oracles (functions/oracle_gen.py).
+
+These tests don't run Spark or DuckDB; they assert the *coupling* —
+that every shared constant actually lands in the generated SQL, so an
+edit to the constant cannot leave a stale hand-written literal behind.
+(End-to-end value agreement is tests/parity.py's job.)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.oracle_gen import (
+    sql_float_list,
+    sql_list,
+    sql_literal,
+    sql_values,
+    sql_values_from_mapping,
+)
+
+
+def test_sql_literal_escaping():
+    assert sql_literal("o'brien") == "'o''brien'"
+    assert sql_literal(3) == "3"
+    assert sql_literal(0.5) == "0.5"
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE"
+
+
+def test_renderers_produce_valid_duckdb():
+    con = duckdb.connect()
+    assert con.sql(f"SELECT {sql_list(['a', 'b'])}").fetchone()[0] == ["a", "b"]
+    assert con.sql(f"SELECT {sql_float_list([1, -1])}").fetchone()[0] == [1.0, -1.0]
+    rows = con.sql(
+        "SELECT * FROM "
+        + sql_values([("en", ["the", "of"]), ("de", ["der"])], "t", ["lang", "words"])
+        + " ORDER BY lang"
+    ).fetchall()
+    assert rows == [("de", ["der"]), ("en", ["the", "of"])]
+
+
+def test_langid_oracle_contains_every_stopword():
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.text import STOPWORDS
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import _langid_oracle_sql
+
+    sql = _langid_oracle_sql()
+    for lang, words in STOPWORDS.items():
+        assert f"'{lang}'" in sql
+        for w in words:
+            assert f"'{w}'" in sql
+
+
+def test_langid_oracle_tracks_constant_edits(monkeypatch):
+    import sycl_mapreduce_cpu_gpu_hybrid_spark.functions.text as text_mod
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import _langid_oracle_sql
+
+    edited = dict(text_mod.STOPWORDS)
+    edited["xx"] = ["zzyzx"]
+    monkeypatch.setattr(text_mod, "STOPWORDS", edited)
+    sql = _langid_oracle_sql()
+    assert "'xx'" in sql and "'zzyzx'" in sql
+
+
+def test_embedding_oracle_renders_the_shared_planes():
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.porthash import rademacher_matrix
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import (
+        _EMB_LSH,
+        _embedding_lsh_oracle_sql,
+    )
+
+    planes = rademacher_matrix(_EMB_LSH["n_planes"], _EMB_LSH["dim"])
+    sql = _embedding_lsh_oracle_sql(
+        n_planes=_EMB_LSH["n_planes"],
+        bands=_EMB_LSH["bands"],
+        threshold=_EMB_LSH["threshold"],
+        max_bucket=_EMB_LSH["max_bucket"],
+        dim=_EMB_LSH["dim"],
+    )
+    assert sql_float_list(planes[0]) in sql
+    assert sql_float_list(planes[-1]) in sql
+
+
+def test_portable_hash_agrees_between_renderer_and_duckdb():
+    # the shared-hash contract end-to-end at the cheapest possible
+    # scale: one literal, both engines
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.oracle_gen import (
+        portable_hash64_sql,
+    )
+
+    con = duckdb.connect()
+    v = con.sql("SELECT " + portable_hash64_sql("'ACGTAC'", seed=3)).fetchone()[0]
+    assert isinstance(v, int) and v >= 0 and v < (1 << 60)
