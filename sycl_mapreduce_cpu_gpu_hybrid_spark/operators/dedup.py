@@ -345,10 +345,15 @@ def ngram_jaccard_pairs(
     - stop-shingle removal: index rows with df > ``max_doc_freq_frac``
       x n_docs are dropped, so boilerplate n-grams cannot produce a
       quadratic bucket; per-shingle pair fan-out is bounded by df_cap;
-    - doc sizes (|A| over kept shingles, df=1 included) re-explode the
-      *index*, not the corpus;
     - candidate pairs are generated per index row from the sorted
-      doc array (i<j positions, so a<b with no filter), then counted.
+      doc array (i<j positions, so a<b with no filter), then counted;
+    - pair rows AND per-doc size markers (b NULL) come out of the SAME
+      explode and flow through one count aggregation, so the whole
+      expensive lineage sits below a single small exchange: the three
+      downstream consumers (pairs, both size join sides) each replay
+      only that exchange (AQE stage reuse) plus a count over
+      pairs+docs rows — the index aggregation itself runs once, not
+      once per consumer.
 
     This is the exact-verify stage run after LSH at scale; here it is
     also a standalone DuckDB-oracleable query.
@@ -376,24 +381,30 @@ def ngram_jaccard_pairs(
         .where(F.size("ds") <= df_cap)
         .select("ds")
     )
-    sizes = (
-        idx.select(F.explode("ds").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    # one generate per index row: every (ds[i], ds[j]) i<j pair struct
+    # PLUS one size-marker struct (b NULL) per member doc — so sizes
+    # and intersections share a single explode and a single groupBy
+    id_type = dict(docs.dtypes)[id_col]
+    rows = idx.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(ds, (x, i) ->"
+                "  transform(slice(ds, i + 2, size(ds)),"
+                "   y -> struct(x AS a, y AS b)))),"
+                f" transform(ds, d -> struct(d AS a, CAST(NULL AS {id_type}) AS b)))"
+            )
+        ).alias("p")
     )
-    # pair array per shingle: all (ds[i], ds[j]) with i < j
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    agg = rows.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    inter = (
-        idx.where(F.size("ds") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
-    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    inter = agg.where(F.col("b").isNotNull()).withColumnRenamed("cnt", "inter")
+    # sizes carry one row per surviving doc — big at corpus scale, so
+    # no broadcast hint: AQE picks broadcast when it measures small
+    sizes = agg.where(F.col("b").isNull())
+    sz_a = sizes.select(F.col("a"), F.col("cnt").alias("na"))
+    sz_b = sizes.select(F.col("a").alias("b"), F.col("cnt").alias("nb"))
     return (
         inter.join(sz_a, "a")
         .join(sz_b, "b")
