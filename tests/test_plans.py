@@ -43,3 +43,29 @@ def test_fingerprint_no_shuffle_before_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_fingerprint")
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2  # optional spread repartition + agg
+
+
+def test_ngram_jaccard_single_index_aggregation(spark, sf_dir):
+    # sizes and intersections must fan out ABOVE the small count
+    # exchange: at runtime AQE replays that exchange for each consumer
+    # (ReusedExchange), so the expensive collect_set index aggregation
+    # executes once — a regression that re-anchors a consumer below it
+    # shows up here as the reuse count dropping
+    df = entry.queries()["dedup_ngram_jaccard"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 3, final
+
+
+def test_streaming_state_conf_restored(spark, sf_dir):
+    # the state-partition override must not leak into the session
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stream_tumbling_to_table,
+    )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_tumbling_to_table(
+        spark, sf_dir, name="t_state_conf", dedup_key="event_id", state_partitions=4
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
