@@ -109,12 +109,18 @@ def run_available_now(result: DataFrame, name: str, mode: str = "complete") -> N
     q.awaitTermination()
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def stream_tumbling_to_table(
     spark: SparkSession,
     sf_dir: str,
     name: str = "stream_tumbling",
     dedup_key: str | None = None,
     state_partitions: int | None = 8,
+    rocksdb_state: bool = False,
 ) -> DataFrame:
     """End-to-end: stream the events fixture through watermarked
     tumbling windows, drain with availableNow, return the result.
@@ -129,7 +135,16 @@ def stream_tumbling_to_table(
     parallelism — each state-store partition pays checkpoint IO per
     micro-batch whether or not it holds keys. Size up for a Kafka
     deployment with millions of in-horizon keys; pass ``None`` to
-    inherit the session's shuffle parallelism."""
+    inherit the session's shuffle parallelism.
+
+    ``rocksdb_state`` switches the state store to the RocksDB
+    provider: per-partition state then spills to local disk instead of
+    living on the JVM heap — required once in-horizon state outgrows
+    executor memory (e.g. id-dedup over a wide watermark). Local
+    replays of tiny fixtures keep the default HDFS-backed in-memory
+    provider (RocksDB's JNI + compaction overhead dominates at toy
+    state sizes). Both knobs are pinned into the checkpoint at first
+    start — changing either later means a new checkpoint."""
     src = stream_events(spark, sf_dir)
     watermark: str | None = "2 hours"
     if dedup_key is not None:
@@ -137,14 +152,23 @@ def stream_tumbling_to_table(
             [dedup_key]
         )
         watermark = None  # already declared upstream of the dedup
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior_provider = spark.conf.get(provider_key, None)
     result = tumbling_counts(src, watermark=watermark)
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if rocksdb_state:
+        spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
     try:
         run_available_now(result, name, mode="complete")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if rocksdb_state:
+            if prior_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prior_provider)
     return spark.table(name)
 
 
