@@ -5,6 +5,27 @@ DataFrame, written with the DataFrame API so Catalyst plans them) and
 ``ORACLES`` (name -> ANSI SQL DuckDB runs over the same parquet for the
 driver's correctness gate; queries without an oracle get the weaker
 rows-only check). Names are unique across submodules.
+
+AUTHORING CONVENTION for hash-bearing outputs (enforced by the strict
+mode of tests/parity.py — see its docstring for the two rounds of
+evidence behind each rule):
+
+1. Prefer strings, integers (incl. BIGINT sums/counts), dates, and
+   timestamps — these hash identically across Spark and DuckDB.
+2. Never emit DECIMAL(p,s) in an oracled query: the driver's value
+   hash normalizes doubles consistently across its two fetch paths
+   but not Decimal objects (round 3: all six decimal-cast queries
+   hash-failed; every decimal-free query passed).
+3. Doubles are acceptable only as ``round(x, n)`` where the rounded
+   value is bit-identical on both engines (strict parity checks raw
+   ``repr``). Sums of parquet doubles round stably; *averages and
+   quantiles of integers* do not — emit exact integer fixed-point
+   instead, computed with integer arithmetic in BOTH engines, e.g.
+   Spark ``(sum(x) * 10000) DIV nullif(count(x), 0)`` == DuckDB
+   ``CAST((sum(x) * 10000) // nullif(count(x), 0) AS BIGINT)``
+   (column alias suffix ``_e4`` marks the 1e4 scale).
+4. Alias every computed column identically in the DataFrame code and
+   the oracle SQL — the driver sorts columns by name before hashing.
 """
 
 from __future__ import annotations

@@ -36,8 +36,11 @@ def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     a GROUPED_AGG pandas_udf (custom combiner, the Mapped::operator+
     analog, src/GPU_Module/GPU.cpp:20-27 — per-bucket RMS of the
     ratios). Deliberately SQL-replicable so the Python kernel path
-    itself passes the value-hash gate; the RMS is DECIMAL(18,4)-
-    canonicalized like every cross-engine rounded average."""
+    itself passes the value-hash gate; the RMS stays a plain
+    round(x, 4) double — the form proven driver-hash-green in round 2
+    (DECIMAL casts fail the gate; see queries/__init__.py). On the
+    strict-parity watchlist (tests/parity.py) so a future edit can't
+    reintroduce the repr knife edge."""
     import numpy as np
     import pandas as pd
 
@@ -59,7 +62,7 @@ def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("doc_id") % 10).alias("bucket"))
         .agg(
             count_kernel("_ratio").alias("n_docs"),
-            F.round(kernel("_ratio"), 4).cast("decimal(18,4)").alias("rms_ratio"),
+            F.round(kernel("_ratio"), 4).alias("rms_ratio"),
         )
     )
 
@@ -116,7 +119,7 @@ ORACLES = {
             FROM documents WHERE doc_id < 200
         )
         SELECT bucket, count(*) AS n_docs,
-               CAST(round(sqrt(avg(ratio * ratio)), 4) AS DECIMAL(18,4)) AS rms_ratio
+               round(sqrt(avg(ratio * ratio)), 4) AS rms_ratio
         FROM r GROUP BY bucket
     """,
 }

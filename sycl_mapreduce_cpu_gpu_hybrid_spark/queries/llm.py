@@ -120,9 +120,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count("text")).alias("ws_tokens"),
         F.sum(bpe_ish_token_count("text")).alias("bpe_tokens"),
-        # decimal-exact: the rounded double's last bits can differ
-        # between engines even when the 4-decimal value agrees
-        F.round(F.avg(F.length("text")), 4).cast("decimal(18,4)").alias("avg_chars"),
+        # exact integer fixed-point average (scale 1e4): integer
+        # arithmetic is bit-identical across engines, unlike a rounded
+        # binary double (r2) or a DECIMAL cast (r3), both of which the
+        # driver's value hash rejected for this column
+        F.expr("(sum(length(text)) * 10000) DIV nullif(count(text), 0)").alias(
+            "avg_chars_e4"
+        ),
     )
 
 
@@ -187,7 +191,8 @@ ORACLES = {
                sum(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
                sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
-               CAST(round(avg(length(text)), 4) AS DECIMAL(18,4)) AS avg_chars
+               CAST((sum(length(text)) * 10000) // nullif(count(text), 0)
+                    AS BIGINT) AS avg_chars_e4
         FROM documents GROUP BY lang
     """,
     "text_quality": r"""

@@ -12,11 +12,13 @@ Scale notes, encoded in the plans rather than comments where possible:
   TakeOrderedAndProject — per-partition heaps + a driver merge of k
   rows, never a global sort;
 - double-typed aggregates are rounded in both engine and oracle so the
-  driver's value hash compares fixed reprs, not accumulation order;
-  rounded *averages* (and quantiles) are additionally cast to
-  DECIMAL(18,n): round() yields a binary double whose repr can still
-  differ between engines in the last bits, and the decimal cast snaps
-  both to the same canonical grid point.
+  driver's value hash compares fixed reprs, not accumulation order.
+  Hash-bearing outputs stay plain rounded doubles, integers, or
+  strings — never DECIMAL(18,n): the driver's hash normalizes doubles
+  identically across its Spark and DuckDB fetch paths but not Decimal
+  objects (round-3 evidence: every decimal-cast query hash-failed,
+  every decimal-free one passed). See queries/__init__.py for the
+  authoring convention.
 """
 
 from __future__ import annotations
@@ -112,10 +114,8 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregate (sum/avg/min/max/count) —
     partial (map-side) aggregation collapses the shuffle to |groups|
-    rows. Rounded averages are cast to DECIMAL(18,4): the rounded
-    *binary double* can differ in its last bits between engines even
-    when the decimal value agrees, and a decimal snaps both to the
-    same canonical grid point."""
+    rows. Averages stay plain round(x, 4) doubles — the form proven
+    driver-hash-green in round 2 (DECIMAL casts fail the gate)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-31"))
@@ -126,8 +126,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 4).cast("decimal(18,4)").alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).cast("decimal(18,4)").alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -135,15 +135,36 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Above this many input rows, agg_median switches from exact
+# percentile (an ImperativeAggregate that buffers every group's values
+# — the one per-group-memory scale hazard in this inventory, see
+# SCALING.md) to percentile_approx, a bounded-memory mergeable
+# KLL-style sketch. The count(*) probe that makes the decision is
+# pushed to parquet footer metadata, so it costs no data scan.
+MEDIAN_EXACT_MAX_ROWS = 100_000_000
+
+
+def agg_median(
+    spark: SparkSession, sf_dir: str, *, exact_max_rows: int = MEDIAN_EXACT_MAX_ROWS
+) -> DataFrame:
     """Exact median + interpolated quartile per group (sort-based
-    aggregation buffering each group's values; see SCALING.md for the
-    size bound — beyond it use approx_percentile). Quantiles are
-    DECIMAL(18,4)-canonicalized like every cross-engine double."""
+    aggregation buffering each group's values), with a declared
+    at-scale escape hatch: above `exact_max_rows` input rows the plan
+    swaps to percentile_approx (mergeable sketch, bounded memory per
+    group — the correct 100 TB shape for a skewed/huge group).
+    Outputs are plain round(x, 4) doubles (driver-hash-safe)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linestatus")
-        .agg(
+    if li.count() > exact_max_rows:
+        # percentile_approx with accuracy 10000: ~0.01% rank error,
+        # fixed-size sketch merged map-side, no value buffering.
+        agg_cols = [
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("_m"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
+            ).alias("_p"),
+        ]
+    else:
+        agg_cols = [
             F.median("l_quantity").alias("_m"),
             # one percentile agg with an array of percentages: both
             # quartiles share a single sort buffer instead of each agg
@@ -151,12 +172,15 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(
                 "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))
             ).alias("_p"),
-        )
+        ]
+    return (
+        li.groupBy("l_linestatus")
+        .agg(*agg_cols)
         .select(
             "l_linestatus",
-            F.round("_m", 4).cast("decimal(18,4)").alias("med_qty"),
-            F.round(F.col("_p")[0], 4).cast("decimal(18,4)").alias("p25_price"),
-            F.round(F.col("_p")[1], 4).cast("decimal(18,4)").alias("p75_price"),
+            F.round("_m", 4).alias("med_qty"),
+            F.round(F.col("_p")[0], 4).alias("p25_price"),
+            F.round(F.col("_p")[1], 4).alias("p75_price"),
         )
     )
 
@@ -332,7 +356,7 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).cast("decimal(18,2)").alias("avg_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         )
     )
 
@@ -491,8 +515,8 @@ ORACLES = {
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
-               CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
                count(*) AS count_order
@@ -502,9 +526,9 @@ ORACLES = {
     """,
     "agg_median": """
         SELECT l_linestatus,
-               CAST(round(median(l_quantity), 4) AS DECIMAL(18,4)) AS med_qty,
-               CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS p25_price,
-               CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DECIMAL(18,4)) AS p75_price
+               round(median(l_quantity), 4) AS med_qty,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         FROM lineitem GROUP BY l_linestatus
     """,
     "agg_count_distinct": """
@@ -574,7 +598,7 @@ ORACLES = {
     """,
     "join_range_band": """
         SELECT band, count(*) AS n,
-               CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS avg_price
+               round(avg(l_extendedprice), 2) AS avg_price
         FROM lineitem
         JOIN (VALUES ('under_10k', 0.0, 10000.0),
                      ('mid', 10000.0, 50000.0),

@@ -27,9 +27,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        # decimal-exact: round() alone leaves a binary double whose
-        # last bits (hence repr/hash) can differ between engines
-        F.round(F.avg("k_path"), 4).cast("decimal(18,4)").alias("avg_k"),
+        # exact integer fixed-point average (scale 1e4): integer
+        # arithmetic is bit-identical across engines, unlike a rounded
+        # binary double (r2) or a DECIMAL cast (r3), both of which the
+        # driver's value hash rejected for this column
+        F.expr("(sum(k_path) * 10000) DIV nullif(count(k_path), 0)").alias("avg_k_e4"),
         F.sum(F.col("k_struct")).alias("sum_k"),
     )
 
@@ -137,8 +139,9 @@ QUERIES = {
 ORACLES = {
     "events_json_extract": """
         SELECT event_type, count(*) AS n,
-               CAST(round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
-                    AS DECIMAL(18,4)) AS avg_k,
+               CAST((sum(CAST(json_extract_string(props, '$.k') AS INT)) * 10000)
+                    // nullif(count(CAST(json_extract_string(props, '$.k') AS INT)), 0)
+                    AS BIGINT) AS avg_k_e4,
                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
         FROM events GROUP BY event_type
     """,
