@@ -31,6 +31,11 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
+# modality cycle for the deterministic fixture — shared with the
+# generated DuckDB oracle (queries/extensions.py) so the two sides
+# cannot drift
+MODALITIES = ("image", "audio", "video")
+
 
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic media fixture: each document's text bytes become
@@ -39,8 +44,8 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col(id_col) % len(MODALITIES) + 1).cast("int"),
         ).alias("modality"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(
@@ -66,13 +71,19 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return h.reshape(4, 4, 3)
 
 
-def byte_histogram_features(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
-    """mapInPandas feature extractor: normalized ``bins``-bucket byte
-    histogram per payload -> array<double>. The iterator-of-batches
-    signature is the real contract a decode/embed stage uses; the
-    histogram stands in for the model forward pass."""
+def byte_histogram_features(
+    df: DataFrame, bins: int = FEATURE_DIM, normalize: bool = True
+) -> DataFrame:
+    """mapInPandas feature extractor: ``bins``-bucket byte histogram
+    per payload — normalized array<double> by default, raw counts
+    array<bigint> with ``normalize=False`` (the exact-integer form the
+    oracled declared query uses: integer outputs hash identically
+    across engines, unlike the normalized ratio doubles). The
+    iterator-of-batches signature is the real contract a decode/embed
+    stage uses; the histogram stands in for the model forward pass."""
 
-    out_schema = "media_id bigint, modality string, features array<double>"
+    feat_type = "array<double>" if normalize else "array<bigint>"
+    out_schema = f"media_id bigint, modality string, features {feat_type}"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,10 +91,10 @@ def byte_histogram_features(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 if arr.size == 0:
-                    feats.append([0.0] * bins)
+                    feats.append([0.0] * bins if normalize else [0] * bins)
                     continue
                 hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
-                feats.append((hist / arr.size).tolist())
+                feats.append((hist / arr.size).tolist() if normalize else hist.tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -6,8 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.oracle_gen import sql_list
 from ..functions.udf import vowel_ratio_udf
-from ..operators.multimodal import attach_fake_media, byte_histogram_features
+from ..operators.multimodal import (
+    FEATURE_DIM,
+    MODALITIES,
+    attach_fake_media,
+    byte_histogram_features,
+)
 from ..sources.tables import load_table
 from ..streaming.events import session_counts, stream_tumbling_to_table
 
@@ -70,15 +76,58 @@ def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media pipeline: documents -> opaque payloads + typed
     metadata -> mapInPandas byte-histogram features (the stand-in for
-    a decode/embed stage). Engine-side plumbing only — rows-only."""
+    a decode/embed stage). Emits the RAW COUNT histogram as a CSV
+    string plus the byte total — all integers/strings, so the full
+    feature vector rides the driver's value hash against a DuckDB
+    oracle generated from the same constants (FEATURE_DIM, MODALITIES,
+    the 256/FEATURE_DIM bin width) that the fixture and extractor
+    consume; the normalized-double variant stays the library default."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = byte_histogram_features(attach_fake_media(docs))
+    feats = byte_histogram_features(attach_fake_media(docs), normalize=False)
     return feats.select(
         "media_id",
         "modality",
         F.size("features").alias("feat_dim"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.array_join(
+            F.transform("features", lambda x: x.cast("string")), ","
+        ).alias("hist_csv"),
+        F.aggregate(
+            "features", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("n_bytes"),
     )
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB replay of the byte-histogram feature pipeline, generated
+    from the SAME constants the Spark side consumes (FEATURE_DIM,
+    MODALITIES): UTF-8-encode each document, parse bytes out of the
+    hex rendering, bucket them at the shared bin width, and render the
+    count vector as the same CSV string. Pure integer arithmetic end
+    to end — bit-identical across engines by construction."""
+    bin_width = 256 // FEATURE_DIM
+    mods = sql_list(MODALITIES)
+    return f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ), e AS (
+            SELECT doc_id,
+                   (('0x' || substr(h, CAST((i - 1) * 2 + 1 AS INT), 2))::INT)
+                       // {bin_width} AS bin
+            FROM b, unnest(range(1, n + 1)) AS u(i)
+        ), m AS (
+            SELECT doc_id, histogram(bin) AS mh FROM e GROUP BY doc_id
+        )
+        SELECT b.doc_id AS media_id,
+               {mods}[CAST(b.doc_id % {len(MODALITIES)} AS INT) + 1] AS modality,
+               {FEATURE_DIM} AS feat_dim,
+               array_to_string(
+                   [CAST(coalesce(map_extract(mh, bv)[1], 0) AS BIGINT)
+                    FOR bv IN range(0, {FEATURE_DIM})], ',') AS hist_csv,
+               b.n AS n_bytes
+        FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+    """
 
 
 QUERIES = {
@@ -122,4 +171,5 @@ ORACLES = {
                round(sqrt(avg(ratio * ratio)), 4) AS rms_ratio
         FROM r GROUP BY bucket
     """,
+    "multimodal_features": _multimodal_oracle_sql(),
 }

@@ -48,6 +48,29 @@ def test_feature_matches_numpy_reference(spark, sf_dir):
     assert got == pytest.approx(expected)
 
 
+def test_feature_counts_variant_sums_to_payload_length(spark, sf_dir):
+    """normalize=False emits raw integer bin counts (the hash-safe form
+    the oracled multimodal_features query uses): each vector must sum to
+    the payload byte length and agree with the normalized variant."""
+    m = _media(spark, sf_dir)
+    lengths = {
+        r["media_id"]: r["n"]
+        for r in m.select("media_id", F.length("payload").alias("n")).collect()
+    }
+    counts = {
+        r["media_id"]: r["features"]
+        for r in byte_histogram_features(m, normalize=False).collect()
+    }
+    norm = {
+        r["media_id"]: r["features"] for r in byte_histogram_features(m).collect()
+    }
+    for mid, c in counts.items():
+        assert all(isinstance(v, int) for v in c)
+        assert sum(c) == lengths[mid]
+        if lengths[mid]:
+            assert norm[mid] == pytest.approx([v / lengths[mid] for v in c])
+
+
 def test_frame_sampling(spark, sf_dir):
     m = _media(spark, sf_dir)
     frames = sample_frames(m, every_nth=2, frame_bytes=32)
