@@ -565,7 +565,11 @@ def embedding_lsh_pairs(
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         dots = np.einsum("ij,ij->i", a, b)
-        return pd.Series(np.round(dots / (na * nb), 6))
+        # return the raw cosine: rounding happens Spark-side with
+        # F.round (HALF_UP, matching DuckDB's half-away) — np.round is
+        # round-half-to-even and can flip the 6th decimal on boundary
+        # values, failing the cross-engine value hash
+        return pd.Series(dots / (na * nb))
 
     pair_cos = pandas_udf(_pair_cos_fn, returnType="double")
 
@@ -574,6 +578,6 @@ def embedding_lsh_pairs(
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", pair_cos("_va", "_vb").alias("sim"))
+        .select("a", "b", F.round(pair_cos("_va", "_vb"), 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )

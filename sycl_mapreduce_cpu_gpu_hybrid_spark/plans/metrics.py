@@ -141,6 +141,16 @@ class StageMetricsCapture:
     plus max peak execution memory over only the new stages. This
     avoids job-group bookkeeping and is exactly what a cluster-side
     SparkListener would sum from StageCompleted events.
+
+    Known limits of stage-delta attribution (accepted; metrics are
+    advisory, not hash-bearing): stages SKIPPED via ReusedExchange
+    never complete, so a plan that re-reads a cached exchange (e.g.
+    dedup_ngram_jaccard) under-reports shuffle_read for the reuse —
+    the bytes were already attributed to the query that first
+    materialized the exchange, and are not re-counted. Likewise,
+    concurrent queries on the same session would be attributed to
+    whichever delta window closes first; bench.py runs queries
+    strictly sequentially, which is the supported mode.
     """
 
     def __init__(self, spark) -> None:

@@ -85,8 +85,19 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. The synthetic embeddings have no planted duplicates (max
     pairwise cosine ~0.6), so the threshold sits at the fixture's
     high-similarity tail; real pipelines run 0.9+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the generated oracle renders the plane matrix for exactly
+    # _EMB_LSH['dim'] dimensions while the Spark kernel infers dim from
+    # the data — a fixture dim change must fail LOUDLY here, not as a
+    # confusing downstream parity mismatch
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    if dim != _EMB_LSH["dim"]:
+        raise ValueError(
+            f"embeddings fixture dim {dim} != _EMB_LSH dim {_EMB_LSH['dim']}; "
+            "regenerate the oracle plane matrix to match"
+        )
     return embedding_lsh_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=_EMB_LSH["threshold"],
         n_planes=_EMB_LSH["n_planes"],
         bands=_EMB_LSH["bands"],

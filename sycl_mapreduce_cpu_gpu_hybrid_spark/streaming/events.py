@@ -144,32 +144,30 @@ def stream_tumbling_to_table(
     replays of tiny fixtures keep the default HDFS-backed in-memory
     provider (RocksDB's JNI + compaction overhead dominates at toy
     state sizes). Both knobs are pinned into the checkpoint at first
-    start — changing either later means a new checkpoint."""
-    src = stream_events(spark, sf_dir)
+    start — changing either later means a new checkpoint.
+
+    The shuffle/state-store overrides are scoped to a CLONED session
+    (``spark.newSession()`` — shared SparkContext, isolated SQLConf),
+    so batch queries running concurrently on the caller's session
+    never observe the streaming conf; the returned DataFrame is bound
+    to the clone (same JVM data, collectable anywhere)."""
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
     watermark: str | None = "2 hours"
     if dedup_key is not None:
         src = src.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
             [dedup_key]
         )
         watermark = None  # already declared upstream of the dedup
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior_provider = spark.conf.get(provider_key, None)
     result = tumbling_counts(src, watermark=watermark)
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     if rocksdb_state:
-        spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
-    try:
-        run_available_now(result, name, mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        if rocksdb_state:
-            if prior_provider is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, prior_provider)
-    return spark.table(name)
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    run_available_now(result, name, mode="complete")
+    return scoped.table(name)
 
 
 def session_counts(

@@ -81,13 +81,32 @@ def test_embedding_oracle_renders_the_shared_planes():
     assert sql_float_list(planes[-1]) in sql
 
 
-def test_portable_hash_agrees_between_renderer_and_duckdb():
+def test_portable_hash_agrees_between_renderer_and_duckdb(spark):
     # the shared-hash contract end-to-end at the cheapest possible
-    # scale: one literal, both engines
+    # scale: one literal, THREE independent evaluations — hashlib (the
+    # spec: first 15 hex chars of md5, seed salted with \x1f), DuckDB
+    # via the rendered SQL, and Spark via the Column expression — must
+    # produce the same integer, not merely in-range values
+    import hashlib
+
+    from pyspark.sql import functions as F
+
     from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.oracle_gen import (
         portable_hash64_sql,
     )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.functions.porthash import (
+        SEP,
+        portable_hash64,
+    )
+
+    expected = int(hashlib.md5(f"ACGTAC{SEP}3".encode()).hexdigest()[:15], 16)
+    assert 0 <= expected < (1 << 60)
 
     con = duckdb.connect()
-    v = con.sql("SELECT " + portable_hash64_sql("'ACGTAC'", seed=3)).fetchone()[0]
-    assert isinstance(v, int) and v >= 0 and v < (1 << 60)
+    duck_v = con.sql("SELECT " + portable_hash64_sql("'ACGTAC'", seed=3)).fetchone()[0]
+    assert duck_v == expected
+
+    spark_v = spark.range(1).select(
+        portable_hash64(F.lit("ACGTAC"), seed=3).alias("h")
+    ).first()["h"]
+    assert spark_v == expected
