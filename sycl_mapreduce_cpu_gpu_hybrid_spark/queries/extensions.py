@@ -15,7 +15,11 @@ from ..operators.multimodal import (
     byte_histogram_features,
 )
 from ..sources.tables import load_table
-from ..streaming.events import session_counts, stream_tumbling_to_table
+from ..streaming.events import (
+    session_counts,
+    stream_purchases_to_parquet,
+    stream_tumbling_to_table,
+)
 
 
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,6 +38,14 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id is unique in the fixture, so the batch oracle — 1-hour
     window starts == date_trunc — is unchanged."""
     return stream_tumbling_to_table(spark, sf_dir, dedup_key="event_id")
+
+
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable streaming sink, end to end: events replayed through
+    the engine, purchase rows appended to checkpointed parquet files,
+    files read back and aggregated per day in batch. Oracled — the
+    sink must hold exactly the rows the batch filter selects."""
+    return stream_purchases_to_parquet(spark, sf_dir)
 
 
 def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,6 +145,7 @@ def _multimodal_oracle_sql() -> str:
 QUERIES = {
     "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_parquet_sink": stream_parquet_sink,
     "udf_kernel_pack": udf_kernel_pack,
     "multimodal_features": multimodal_features,
 }
@@ -159,6 +172,13 @@ ORACLES = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "stream_parquet_sink": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_purchases,
+               round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
     """,
     "udf_kernel_pack": """
         WITH r AS (

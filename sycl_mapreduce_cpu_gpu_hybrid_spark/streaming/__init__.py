@@ -6,6 +6,7 @@ from .events import (  # noqa: F401
     stateful_running_max,
     stream_events,
     stream_foreach_batch,
+    stream_purchases_to_parquet,
     stream_to_parquet,
     stream_tumbling_to_table,
     tumbling_counts,

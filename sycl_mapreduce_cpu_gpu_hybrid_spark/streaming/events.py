@@ -259,6 +259,37 @@ def stream_to_parquet(result: DataFrame, path: str, checkpoint: str) -> None:
     q.awaitTermination()
 
 
+def stream_purchases_to_parquet(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Durable-sink roundtrip: stream the events fixture, keep the
+    row-level purchase stream (stateless — append mode emits every row
+    immediately; an aggregation here would withhold trailing windows
+    until a watermark that never advances past a finite backlog),
+    drain it into a parquet sink with a checkpoint (exactly-once per
+    micro-batch), then read the files back and aggregate per day in
+    batch. The returned frame is the proof the durable sink holds
+    exactly the streamed rows. Conf stays on a cloned session, same as
+    stream_tumbling_to_table."""
+    import tempfile
+
+    base = base_dir or tempfile.mkdtemp(prefix="stream_pq_")
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    stream_to_parquet(purchases, f"{base}/data", f"{base}/ckpt")
+    back = scoped.read.parquet(f"{base}/data")
+    return (
+        back.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def stream_foreach_batch(
     result: DataFrame, sink, checkpoint: str
 ) -> None:

@@ -61,7 +61,15 @@ def test_ngram_jaccard_matches_python(spark, a, b):
     else:
         assert len(rows) == 1
         want = len(sa & sb) / len(sa | sb)
-        assert abs(rows[0]["jaccard"] - round(want, 4)) <= 1e-4
+        # replicate Spark's F.round exactly: shortest-repr decimal,
+        # HALF_UP ties — Python's built-in round() is half-to-even and
+        # disagrees on exact ties like 0.03125 (hypothesis found one)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_r = float(
+            Decimal(repr(want)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert rows[0]["jaccard"] == want_r
 
 
 @given(corpus=st.lists(DOC.filter(lambda t: len(t) >= 4), min_size=2, max_size=6))
