@@ -72,6 +72,27 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         assert approx[flag] == pytest.approx(ex, rel=0.02)
 
 
+def test_agg_median_approx_fallback(spark, sf_dir):
+    """The at-scale escape hatch: forcing the row threshold to 0 must
+    swap the exact percentile for percentile_approx (bounded-memory
+    sketch) and still land within sketch tolerance of the exact
+    quantiles — the declared behavior above MEDIAN_EXACT_MAX_ROWS."""
+    exact = {
+        r["l_linestatus"]: (r["med_qty"], r["p25_price"], r["p75_price"])
+        for r in relational.agg_median(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_linestatus"]: (r["med_qty"], r["p25_price"], r["p75_price"])
+        for r in relational.agg_median(spark, sf_dir, exact_max_rows=0).collect()
+    }
+    assert set(exact) == set(approx)
+    for status, (m, p25, p75) in exact.items():
+        am, a25, a75 = approx[status]
+        assert am == pytest.approx(m, rel=0.02)
+        assert a25 == pytest.approx(p25, rel=0.02)
+        assert a75 == pytest.approx(p75, rel=0.02)
+
+
 def test_agg_partition_invariance(spark, sf_dir):
     """Reference invariant (SURVEY §5: device 1/2/3 agree) — results
     must not depend on physical partitioning."""
