@@ -95,11 +95,14 @@ def minhash_signatures(
       and is an equally serviceable uniform family for min-hash —
       estimate quality is asserted against exact Jaccard in tests.)
 
-    ``portable=True`` replaces the xor-rotate family with one
-    md5-derived hash per seed (functions/porthash.py) that DuckDB
-    reproduces bit-identically — ``num_hashes`` full hashes per
-    shingle, so pay it only in oracle-checked queries (use a smaller
-    ``num_hashes``).
+    ``portable=True`` swaps xxhash64 for the md5-derived
+    Carter-Wegman pair (functions/porthash.py portable_hash64_cw):
+    ONE md5 per shingle yields (a, b) and the i-th hash is
+    ``(a + i*b) % CW_PRIME`` — the same double-hashing shape as the
+    production family, but in arithmetic DuckDB replays
+    bit-identically. (Round 4: previously one full md5 PER SEED —
+    num_hashes× the hash cost; the CW derivation removed that
+    multiplier.)
     """
     sh = kmer_explode(
         docs.select(id_col, text_col),
@@ -113,14 +116,17 @@ def minhash_signatures(
         spread=True,
     )
     if portable:
-        from ..functions.porthash import portable_hash64
+        from ..functions.porthash import CW_PRIME, portable_hash64_cw
 
-        sh = sh.select(
-            id_col,
-            *[portable_hash64("word", seed=i).alias(f"_x{i}") for i in range(num_hashes)],
-        )
+        a, b = portable_hash64_cw("word")
+        sh = sh.select(id_col, a.alias("_a"), b.alias("_b"))
         mins = sh.groupBy(id_col).agg(
-            *[F.min(f"_x{i}").alias(f"_m{i}") for i in range(num_hashes)]
+            *[
+                F.min(
+                    (F.col("_a") + F.lit(i) * F.col("_b")) % F.lit(CW_PRIME)
+                ).alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
         )
         return mins.select(
             id_col,
@@ -178,9 +184,14 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col, portable=portable)
 
+    # band the IDS ONLY: duplicating the full signature array into
+    # every band row would multiply the band shuffle by
+    # bands x num_hashes x 8 bytes per doc (e.g. 64 hashes x 16 bands
+    # = ~8 KB/doc instead of ~8 B/doc) — at corpus scale the dominant
+    # shuffle of the whole pipeline. Signatures rejoin per candidate
+    # pair below, where cardinality is already bucket-capped.
     banded = sigs.select(
         id_col,
-        "signature",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -189,36 +200,41 @@ def minhash_lsh_pairs(
         ).alias("band_idx", "band_hash"),
     )
     buckets = banded.groupBy("band_idx", "band_hash").agg(
-        F.collect_list(F.struct(id_col, "signature")).alias("members")
+        F.collect_list(F.col(id_col)).alias("members")
     )
     small = buckets.where(
         (F.size("members") >= 2) & (F.size("members") <= max_bucket)
     )
     # in-bucket pairs, deduplicated across bands by (a, b) distinct
     pairs = (
-        small.select(
+        small.select(F.sort_array("members").alias("ms"))
+        .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(members, (m, i) ->"
-                    " transform(slice(members, i + 2, size(members)),"
-                    f" o -> struct(least(m.{id_col}, o.{id_col}) AS a,"
-                    f" greatest(m.{id_col}, o.{id_col}) AS b,"
-                    " m.signature AS sig_a, o.signature AS sig_b))))"
+                    "flatten(transform(ms, (x, i) ->"
+                    " transform(slice(ms, i + 2, size(ms)),"
+                    " y -> struct(x AS a, y AS b))))"
                 )
             ).alias("p")
         )
-        .select("p.a", "p.b", "p.sig_a", "p.sig_b")
+        .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
-    est = pairs.select(
-        "a",
-        "b",
-        (
-            F.expr(
-                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-            ).cast("double")
-            / F.lit(float(num_hashes))
-        ).alias("est_jaccard"),
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    est = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.expr(
+                    "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
     )
     return est.where(F.col("est_jaccard") >= threshold)
 

@@ -357,13 +357,15 @@ QUERIES["dedup_minhash_portable"] = dedup_minhash_portable
 
 
 def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: float = 0.7, max_bucket: int = 100) -> str:
-    """DuckDB replay of dedup_minhash_portable: same per-seed portable
-    hashes, same min-signatures, same bucket cap, same threshold."""
-    from ..functions.porthash import portable_hash64_sql
+    """DuckDB replay of dedup_minhash_portable: the same Carter-Wegman
+    pair from one md5 per shingle (porthash.portable_hash64_cw — i-th
+    hash = (a + i*b) % CW_PRIME), same min-signatures, same bucket
+    cap, same threshold."""
+    from ..functions.porthash import CW_PRIME, portable_hash64_cw_sql
 
+    a_sql, b_sql = portable_hash64_cw_sql("g")
     mins = ",\n               ".join(
-        f"min({portable_hash64_sql('g', seed=i)}) AS s{i}"
-        for i in range(num_hashes)
+        f"min((a + {i} * b) % {CW_PRIME}) AS s{i}" for i in range(num_hashes)
     )
     long_union = "\n            UNION ALL ".join(
         f"SELECT doc_id, {i} AS i, s{i} AS v FROM sig" for i in range(num_hashes)
@@ -373,10 +375,15 @@ def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: fl
     )
     return f"""
         WITH sh AS (
-            SELECT doc_id, substr(text, u.i, {k}) AS g
-            FROM documents,
-                 unnest(range(1, greatest(length(text) - {k} + 1, 0) + 1)) AS u(i)
-            WHERE length(text) >= {k} AND doc_id < 2000
+            SELECT doc_id,
+                   {a_sql} AS a,
+                   {b_sql} AS b
+            FROM (
+                SELECT doc_id, substr(text, u.i, {k}) AS g
+                FROM documents,
+                     unnest(range(1, greatest(length(text) - {k} + 1, 0) + 1)) AS u(i)
+                WHERE length(text) >= {k} AND doc_id < 2000
+            )
         ), sig AS (
             SELECT doc_id,
                {mins}

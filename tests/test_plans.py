@@ -17,6 +17,16 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_multimodal_scan_prunes_to_used_columns(spark, sf_dir):
+    # the media pipeline fabricates payloads from text — the parquet
+    # scan must read ONLY (doc_id, text); at 100 TB reading unused
+    # document columns into the Arrow batches is the regression that
+    # would dominate the stage
+    plan = _plan(spark, sf_dir, "multimodal_features")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "MapInPandas" in plan
+
+
 def test_agg_is_partial_then_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_pricing_summary")
     assert "partial_sum" in plan or "partial_count" in plan, (
