@@ -34,39 +34,54 @@ def portable_hash64_sql(expr: str, seed: int = 0) -> str:
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
 
 
-# Largest prime below 2^30: the Carter-Wegman modulus. 30 bits keeps
-# every intermediate (a + 63*b with a,b < p) far inside int64 under
-# ANSI arithmetic; a 30-bit hash domain is ample for MinHash (birthday
-# collision odds for ~10^3 shingles/doc are ~1e-4 per component).
-CW_PRIME = 1_073_741_789
+# Largest prime below 2^30: the affine-permutation modulus for
+# portable MinHash. 30 bits keeps a_i * (h mod p) + b_i (< 2^60+2^30)
+# inside int64 under ANSI arithmetic; a 30-bit hash domain is ample
+# for MinHash (birthday collision odds for ~10^3 shingles/doc are
+# ~0.4% per doc, vanishing effect on a min).
+MINHASH_PRIME = 1_073_741_789
 
 
-def portable_hash64_cw(col: Column | str) -> tuple[Column, Column]:
-    """Carter-Wegman base pair from ONE md5: ``(a, b)`` with
-    a = (60-bit from hex chars 1-15) mod p, b = 1 + (60-bit from hex
-    chars 17-31) mod (p-1), p = :data:`CW_PRIME`. The i-th derived
-    hash is ``(a + i * b) % p`` — a pairwise-independent-style family
-    in pure int64 arithmetic (max intermediate < 2^36), so n hashes
-    cost ONE md5 per value instead of n. b >= 1: the family never
-    degenerates to a constant; both a and b span the full modulus, so
-    every i reshuffles the min-shingle choice (a bounded ``b`` would
-    leave the 60-bit ``a`` spread dominant and every component would
-    pick the same argmin — the degenerate trap this construction
-    avoids). DuckDB replays via :func:`portable_hash64_cw_sql`."""
+def minhash_affine_coeffs(n: int, tag: str = "mh") -> list[tuple[int, int]]:
+    """``n`` independent affine-permutation coefficient pairs
+    (a_i in [1, p), b_i in [0, p)) derived deterministically from md5
+    of counter strings — the classic portable MinHash family (the
+    same construction Spark MLlib's MinHashLSH uses with RNG-drawn
+    coefficients): shingle hashed ONCE, component i applies
+    ``(a_i * (h mod p) + b_i) mod p``. Independence ACROSS components
+    comes from independent (a_i, b_i) constants; deriving both values
+    per-shingle instead (a Carter-Wegman pair shared by all i)
+    correlates the component argmins and biases pairwise estimates —
+    measured +0.25 est error on planted corpora — which is why this
+    shared-constants form replaced it. Rendered into the DuckDB
+    oracle as literals (queries/llm.py), same pattern as
+    rademacher_matrix below."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (1 + h(f"{tag}:{i}:a") % (MINHASH_PRIME - 1), h(f"{tag}:{i}:b") % MINHASH_PRIME)
+        for i in range(n)
+    ]
+
+
+def portable_base_hash(col: Column | str) -> Column:
+    """Spark side of the portable MinHash base hash: the 60-bit md5
+    value reduced mod :data:`MINHASH_PRIME` — ONE md5 per shingle
+    regardless of how many affine components derive from it."""
     c = F.col(col) if isinstance(col, str) else col
-    m = F.md5(c)
-    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 17, 15), 16, 10).cast("long")
-    return h1 % F.lit(CW_PRIME), h2 % F.lit(CW_PRIME - 1) + F.lit(1)
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
 
 
-def portable_hash64_cw_sql(expr: str) -> tuple[str, str]:
-    """DuckDB side of :func:`portable_hash64_cw`: the same ``(a, b)``
-    SQL expressions over ``expr`` (operands are non-negative, so ``%``
-    agrees between the engines)."""
-    h1 = f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-    h2 = f"('0x' || substr(md5({expr}), 17, 15))::BIGINT"
-    return f"({h1}) % {CW_PRIME}", f"({h2}) % {CW_PRIME - 1} + 1"
+def portable_base_hash_sql(expr: str) -> str:
+    """DuckDB side of :func:`portable_base_hash` (operands are
+    non-negative, so ``%`` agrees between the engines)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT) % {MINHASH_PRIME}"
 
 
 def rademacher_matrix(n_rows: int, n_cols: int, tag: str = "plane") -> list[list[int]]:

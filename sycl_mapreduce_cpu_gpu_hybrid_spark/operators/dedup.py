@@ -95,14 +95,16 @@ def minhash_signatures(
       and is an equally serviceable uniform family for min-hash —
       estimate quality is asserted against exact Jaccard in tests.)
 
-    ``portable=True`` swaps xxhash64 for the md5-derived
-    Carter-Wegman pair (functions/porthash.py portable_hash64_cw):
-    ONE md5 per shingle yields (a, b) and the i-th hash is
-    ``(a + i*b) % CW_PRIME`` — the same double-hashing shape as the
-    production family, but in arithmetic DuckDB replays
-    bit-identically. (Round 4: previously one full md5 PER SEED —
-    num_hashes× the hash cost; the CW derivation removed that
-    multiplier.)
+    ``portable=True`` swaps xxhash64 for the md5-derived affine
+    family (functions/porthash.py): ONE md5 per shingle reduced mod
+    MINHASH_PRIME, and the i-th hash is ``(a_i * h + b_i) % p`` with
+    per-component constants (a_i, b_i) from minhash_affine_coeffs —
+    the classic MinHash permutation family (what MLlib's MinHashLSH
+    draws from an RNG), in arithmetic DuckDB replays bit-identically.
+    (Round 4: previously one full md5 PER SEED — num_hashes× the hash
+    cost; a shared Carter-Wegman (a, b) pair per shingle was tried in
+    between but correlates the component argmins and biases the
+    pairwise estimate, so the constants moved to the components.)
     """
     sh = kmer_explode(
         docs.select(id_col, text_col),
@@ -110,22 +112,27 @@ def minhash_signatures(
         text_col=text_col,
         keep_cols=[id_col],
         enforce_reference_cap=False,
-        # per-shingle work here is 2-16 hashes, not a count: fanning
-        # out wins even below the auto-spread size floor (measured
-        # ~1.6x xor-rotate, ~10x portable md5 on the sf0.1 corpus)
+        # per-shingle work is 2 base hashes + num_hashes derived mins,
+        # not a count: fanning out wins even below the auto-spread
+        # size floor (measured ~1.6x on the sf0.1 corpus; both
+        # families now cost ~the same since the CW portable form)
         spread=True,
     )
     if portable:
-        from ..functions.porthash import CW_PRIME, portable_hash64_cw
+        from ..functions.porthash import (
+            MINHASH_PRIME,
+            minhash_affine_coeffs,
+            portable_base_hash,
+        )
 
-        a, b = portable_hash64_cw("word")
-        sh = sh.select(id_col, a.alias("_a"), b.alias("_b"))
+        coeffs = minhash_affine_coeffs(num_hashes)
+        sh = sh.select(id_col, portable_base_hash("word").alias("_h"))
         mins = sh.groupBy(id_col).agg(
             *[
                 F.min(
-                    (F.col("_a") + F.lit(i) * F.col("_b")) % F.lit(CW_PRIME)
+                    (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)
                 ).alias(f"_m{i}")
-                for i in range(num_hashes)
+                for i, (a, b) in enumerate(coeffs)
             ]
         )
         return mins.select(

@@ -340,8 +340,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     {pairs: est_jaccard >= threshold}. The production query
     (dedup_minhash_pairs) keeps xxhash64 + 64 hashes; this one proves
     the MinHash machinery end-to-end against DuckDB, over a bounded
-    doc subset (16 md5 evaluations per shingle are ~10x an xxhash64 —
-    the portable family is for verification, not production)."""
+    doc subset (one md5 per shingle + 16 affine mins — near production
+    cost, but md5 is still the portability tax)."""
     return minhash_lsh_pairs(
         _docs(spark, sf_dir).where(F.col("doc_id") < 2000),
         k=6,
@@ -357,15 +357,21 @@ QUERIES["dedup_minhash_portable"] = dedup_minhash_portable
 
 
 def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: float = 0.7, max_bucket: int = 100) -> str:
-    """DuckDB replay of dedup_minhash_portable: the same Carter-Wegman
-    pair from one md5 per shingle (porthash.portable_hash64_cw — i-th
-    hash = (a + i*b) % CW_PRIME), same min-signatures, same bucket
-    cap, same threshold."""
-    from ..functions.porthash import CW_PRIME, portable_hash64_cw_sql
+    """DuckDB replay of dedup_minhash_portable: the same affine
+    family from one md5 per shingle (porthash.minhash_affine_coeffs —
+    i-th hash = (a_i * h + b_i) % MINHASH_PRIME with the constants
+    rendered as literals), same min-signatures, same bucket cap, same
+    threshold."""
+    from ..functions.porthash import (
+        MINHASH_PRIME,
+        minhash_affine_coeffs,
+        portable_base_hash_sql,
+    )
 
-    a_sql, b_sql = portable_hash64_cw_sql("g")
+    h_sql = portable_base_hash_sql("g")
     mins = ",\n               ".join(
-        f"min((a + {i} * b) % {CW_PRIME}) AS s{i}" for i in range(num_hashes)
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
     )
     long_union = "\n            UNION ALL ".join(
         f"SELECT doc_id, {i} AS i, s{i} AS v FROM sig" for i in range(num_hashes)
@@ -376,8 +382,7 @@ def _minhash_portable_oracle_sql(num_hashes: int = 16, k: int = 6, threshold: fl
     return f"""
         WITH sh AS (
             SELECT doc_id,
-                   {a_sql} AS a,
-                   {b_sql} AS b
+                   {h_sql} AS h
             FROM (
                 SELECT doc_id, substr(text, u.i, {k}) AS g
                 FROM documents,

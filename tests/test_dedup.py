@@ -60,21 +60,34 @@ def test_exact_dedup_groups_planted_copies(planted):
     assert sum(r["n_copies"] for r in out) == planted.count()
 
 
-def test_minhash_finds_planted_pairs_no_false_positives(planted):
+@pytest.mark.parametrize("portable", [False, True], ids=["xxhash64", "portable_md5"])
+def test_minhash_finds_planted_pairs_no_false_positives(planted, portable):
     # threshold 0.7: unrelated docs drawn from the same 16-word
     # vocabulary legitimately share ~half their 6-gram shingles, so
-    # 0.5 would (correctly) pair them
-    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(planted, threshold=0.7).collect()}
+    # 0.5 would (correctly) pair them. Runs for BOTH hash families:
+    # a degenerate family can be hash-green against its own generated
+    # oracle (the oracle replays the degeneracy faithfully) — only a
+    # quality assertion catches it.
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(planted, threshold=0.7, portable=portable).collect()
+    }
     for i in range(5):
         assert (100 + i, 200 + i) in pairs, f"planted pair {i} missed"
     # no pair between two unrelated random docs (ids < 100 both sides)
     assert not [p for p in pairs if p[0] < 100 and p[1] < 100]
 
 
-def test_minhash_estimate_tracks_exact_jaccard(planted):
+@pytest.mark.parametrize("portable", [False, True], ids=["xxhash64", "portable_md5"])
+def test_minhash_estimate_tracks_exact_jaccard(planted, portable):
+    # both families must track exact Jaccard — the portable run pins
+    # the affine family against the correlated-argmin trap (a shared
+    # per-shingle (a, b) pair makes every component pick the same
+    # argmin shingle, inflating est_jaccard for weakly related docs
+    # while still matching its own oracle)
     est = {
         (r["a"], r["b"]): r["est_jaccard"]
-        for r in minhash_lsh_pairs(planted, threshold=0.3).collect()
+        for r in minhash_lsh_pairs(planted, threshold=0.3, portable=portable).collect()
     }
     exact = {
         (r["a"], r["b"]): r["jaccard"]
