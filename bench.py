@@ -65,27 +65,47 @@ def _kmer_k(name: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def run_inventory(spark, sf_dir: str, recorder: MetricsRecorder, n_scale: int, ls: int) -> dict[str, float]:
-    import __spark_entry__ as entrymod
+def run_inventory(
+    spark,
+    sf_dir: str,
+    recorder: MetricsRecorder,
+    n_scale: int,
+    ls: int,
+    errors: dict[str, str] | None = None,
+    queries: dict | None = None,
+) -> dict[str, float]:
+    if queries is None:
+        import __spark_entry__ as entrymod
+
+        queries = entrymod.queries()
+    if errors is None:
+        errors = {}
 
     cpu = CpuMonitor()
     capture = StageMetricsCapture(spark)
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        # per-point warm-up, excluded from metrics (runprogram.sh:29-41)
-        force(fn(spark, sf_dir))
-        # min of two timed runs: the host shows episodic CPU-steal
-        # bursts; min is the standard noise-robust point estimate.
-        # Secondary metrics bracket only the LAST run (one clean
-        # START..STOP window, reference Metric() protocol).
-        best = float("inf")
-        for i in range(2):
-            if i == 1:
-                stages_before = capture.stages()
-                cpu.snapshot_start()
-            with timed() as t:
-                force(fn(spark, sf_dir))
-            best = min(best, t["sec"])
+    for name, fn in queries.items():
+        # Per-query fault isolation (round-5 fix): one broken query
+        # must never zero the whole bench artifact — record the error
+        # and keep timing the rest.
+        try:
+            # per-point warm-up, excluded from metrics (runprogram.sh:29-41)
+            force(fn(spark, sf_dir))
+            # min of two timed runs: the host shows episodic CPU-steal
+            # bursts; min is the standard noise-robust point estimate.
+            # Secondary metrics bracket only the LAST run (one clean
+            # START..STOP window, reference Metric() protocol).
+            best = float("inf")
+            for i in range(2):
+                if i == 1:
+                    stages_before = capture.stages()
+                    cpu.snapshot_start()
+                with timed() as t:
+                    force(fn(spark, sf_dir))
+                best = min(best, t["sec"])
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(best, 4)
 
         def rec(metric: int, value: float) -> None:
@@ -177,23 +197,23 @@ def main() -> None:
     n_scale = int((sf or 0) * 1_000_000)
 
     recorder = MetricsRecorder()
-    timings = run_inventory(spark, sf_dir, recorder, n_scale, ls)
+    errors: dict[str, str] = {}
+    timings = run_inventory(spark, sf_dir, recorder, n_scale, ls, errors)
     if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
         run_sweep(spark, sf_dir, recorder, ls)
         run_ls_sweep(spark, sf_dir, recorder)
     recorder.write_points(POINTS_PATH)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -199,9 +199,10 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": r"""
         SELECT lang, count(*) AS n_docs,
-               sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
-               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+                    AS BIGINT) AS bpe_tokens,
                CAST((sum(length(text)) * 10000) // nullif(count(text), 0)
                     AS BIGINT) AS avg_chars_e4
         FROM documents GROUP BY lang

@@ -142,7 +142,7 @@ ORACLES = {
                CAST((sum(CAST(json_extract_string(props, '$.k') AS INT)) * 10000)
                     // nullif(count(CAST(json_extract_string(props, '$.k') AS INT)), 0)
                     AS BIGINT) AS avg_k_e4,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
     """,
     "events_time_agg": """

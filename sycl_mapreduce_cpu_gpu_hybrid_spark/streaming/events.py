@@ -43,6 +43,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # us-precision no-tz parquet infers TIMESTAMP_NTZ, which watermarks
+    # reject; session TZ is pinned UTC so the cast is value-identical.
+    for f in stream.schema:
+        if f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return stream
 
 
