@@ -18,6 +18,8 @@ from ..sources.tables import load_table
 from ..streaming.events import (
     session_counts,
     stream_purchases_to_parquet,
+    stream_running_max_to_table,
+    stream_sliding_to_table,
     stream_tumbling_to_table,
 )
 
@@ -46,6 +48,22 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     files read back and aggregated per day in batch. Oracled — the
     sink must hold exactly the rows the batch filter selects."""
     return stream_purchases_to_parquet(spark, sf_dir)
+
+
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width / 1h slide) through the streaming
+    engine. Oracled: every event lands in exactly width/slide = 2
+    hour-aligned windows, so the batch replay unnests the two window
+    starts per event and averages per start."""
+    return stream_sliding_to_table(spark, sf_dir)
+
+
+def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running
+    max/count per user) drained through the streaming engine. The
+    final state equals plain per-key count/max of the whole backlog,
+    which is the oracle."""
+    return stream_running_max_to_table(spark, sf_dir)
 
 
 def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +164,8 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_parquet_sink": stream_parquet_sink,
+    "stream_sliding_avg": stream_sliding_avg,
+    "stream_running_max": stream_running_max,
     "udf_kernel_pack": udf_kernel_pack,
     "multimodal_features": multimodal_features,
 }
@@ -179,6 +199,20 @@ ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
+    """,
+    "stream_sliding_avg": """
+        WITH w AS (
+            SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR
+                        AS TIMESTAMP) AS win_start,
+                   value
+            FROM events, unnest([0, 1]) AS u(o)
+        )
+        SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM w GROUP BY 1
+    """,
+    "stream_running_max": """
+        SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id
     """,
     "udf_kernel_pack": """
         WITH r AS (

@@ -77,13 +77,20 @@ def tumbling_counts(
 
 
 def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
-    """Sliding-window average value (each event lands in
-    width/slide windows)."""
+    """Sliding-window rolling stats (each event lands in width/slide
+    windows). Emits count + rounded sum + the derived average; the
+    hash-bearing columns are n/sum_value — round(avg) of doubles is
+    NOT bit-stable across engines (authoring convention rule 3), so
+    avg_value is excluded from the declared-query projection."""
     src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", width, slide).alias("win"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("win.start").alias("win_start"), "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "sum_value", "avg_value")
     )
 
 
@@ -173,6 +180,45 @@ def stream_tumbling_to_table(
         )
     run_available_now(result, name, mode="complete")
     return scoped.table(name)
+
+
+def stream_sliding_to_table(
+    spark: SparkSession, sf_dir: str, name: str = "stream_sliding"
+) -> DataFrame:
+    """Sliding-window averages through the streaming engine (file
+    source -> watermark -> 2h/1h sliding windows -> availableNow drain
+    into a memory table). Same session-scoping discipline as
+    stream_tumbling_to_table."""
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
+    result = sliding_avg(src)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    run_available_now(result, name, mode="complete")
+    return scoped.table(name).select("win_start", "n", "sum_value")
+
+
+def stream_running_max_to_table(
+    spark: SparkSession, sf_dir: str, name: str = "stream_running_max"
+) -> DataFrame:
+    """applyInPandasWithState running-max through the streaming engine.
+    Update mode emits one row per key per micro-batch that touched it;
+    both state fields are monotone (count accumulates, max never
+    decreases), so the final per-key state is recovered batching-
+    independently with a max over the emitted rows — the query is
+    deterministic whether the backlog replays as 1 micro-batch or 50."""
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
+    result = stateful_running_max(src)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    run_available_now(result, name, mode="update")
+    return (
+        scoped.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
 
 
 def session_counts(
