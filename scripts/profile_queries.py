@@ -1,0 +1,47 @@
+"""Ad-hoc per-query profiler: warm each named query, then time N runs
+and report min/median, optionally dumping the formatted plan.
+
+    python scripts/profile_queries.py [--plan] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    show_plan = "--plan" in sys.argv
+    spark = get_spark(app_name="profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = args or list(qs)
+    for name in names:
+        fn = qs[name]
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        print(
+            f"{name:32s} min={min(times):7.3f}  med={statistics.median(times):7.3f}",
+            flush=True,
+        )
+        if show_plan:
+            df.explain("formatted")
+
+
+if __name__ == "__main__":
+    main()

@@ -164,15 +164,18 @@ def sample_centroids(
 
 def _assign_cells(
     df: DataFrame,
-    centroids: DataFrame,
+    c_ids: list,
+    c_unit: np.ndarray,
     id_col: str,
     vec_col: str,
     n_probe: int,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest centroid ids to each row via the
-    matmul stream (centroid matrix in closure — the corpus is scanned
-    once, no join)."""
-    c_ids, c_unit = _collect_matrix(centroids, "cid", "centroid")
+    matmul stream (pre-collected centroid matrix in closure — the
+    corpus is scanned once, no join). Takes the collected matrix, not
+    the centroid DataFrame: the centroid plan can be corpus-sized
+    (Lloyd refinement), so each caller-side collect of it is a full
+    corpus pass — collect once, assign many."""
     return _score_stream(
         df, id_col, vec_col, c_ids, c_unit, top_per_row=n_probe
     ).select(F.col("ref_id").cast("int").alias("cid"), id_col)
@@ -191,7 +194,8 @@ def refine_centroids(
     iteration; centroid state never exceeds the centroid table."""
     cents = centroids
     for _ in range(iters):
-        assigned = _assign_cells(corpus, cents, id_col, vec_col, 1).join(
+        c_ids, c_unit = _collect_matrix(cents, "cid", "centroid")
+        assigned = _assign_cells(corpus, c_ids, c_unit, id_col, vec_col, 1).join(
             corpus.select(id_col, vec_col), id_col
         )
         cents = (
@@ -227,13 +231,17 @@ def ivf_topk(
     cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
     if kmeans_iters > 0:
         cents = refine_centroids(corpus, cents, id_col, vec_col, iters=kmeans_iters)
-    corpus_cells = _assign_cells(corpus, cents, id_col, vec_col, 1)
+    # ONE evaluation of the centroid plan (with Lloyd refinement it
+    # embeds a full corpus pass): both the corpus assignment and the
+    # query probes reuse the collected matrix.
+    c_ids, c_unit = _collect_matrix(cents, "cid", "centroid")
+    corpus_cells = _assign_cells(corpus, c_ids, c_unit, id_col, vec_col, 1)
 
     # probe map (query -> n_probe cells) is |queries| x n_probe rows —
     # small by the same contract that makes the query set collectable
     q_ids, q_unit = _collect_matrix(queries, query_id_col, query_vec_col)
     q_index = {qid: i for i, qid in enumerate(q_ids)}
-    probes = _assign_cells(queries, cents, query_id_col, query_vec_col, n_probe)
+    probes = _assign_cells(queries, c_ids, c_unit, query_id_col, query_vec_col, n_probe)
     cell_queries: dict[int, list] = {}
     for r in probes.collect():
         cell_queries.setdefault(r["cid"], []).append(r[query_id_col])

@@ -190,6 +190,17 @@ def agg_median(
     )
 
 
+def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale median plan, declared: forces agg_median's
+    percentile_approx branch (mergeable fixed-size sketch, bounded
+    per-group memory) regardless of input size, so the 100 TB path is
+    exercised by the driver gate itself rather than only by a fallback
+    branch. Rows-only check by design — sketch outputs are
+    engine-specific; the exact-vs-approx error bound is pytest-asserted
+    (tests/test_relational.py)."""
+    return agg_median(spark, sf_dir, exact_max_rows=0)
+
+
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (expand + two-phase agg under AQE)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -464,6 +475,7 @@ QUERIES = {
     "sort_multikey": sort_multikey,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_median": agg_median,
+    "agg_median_approx": agg_median_approx,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup_cube": agg_rollup_cube,

@@ -34,14 +34,23 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). Footer-only read — no data I/O."""
+    rejects ([PARQUET_TYPE_ILLEGAL]). Footer-only read — no data I/O;
+    memoized per path (fixtures are immutable and every load_table
+    call would otherwise re-read the footer)."""
+    if path in _NS_COLS_CACHE:
+        return _NS_COLS_CACHE[path]
     try:
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     except Exception:
-        return []
+        cols = []
+    _NS_COLS_CACHE[path] = cols
+    return cols
+
+
+_NS_COLS_CACHE: dict[str, list[str]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -52,12 +52,13 @@ def test_ivf_probes_fewer_candidates(spark, sf_dir):
     # corpus per query on average
     from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.similarity import (
         _assign_cells,
+        _collect_matrix,
         sample_centroids,
     )
 
-    cents = sample_centroids(emb, 16)
-    cells = _assign_cells(emb, cents, "vec_id", "embedding", 1)
-    qcells = _assign_cells(qs, cents, "query_id", "query_vec", 2)
+    c_ids, c_unit = _collect_matrix(sample_centroids(emb, 16), "cid", "centroid")
+    cells = _assign_cells(emb, c_ids, c_unit, "vec_id", "embedding", 1)
+    qcells = _assign_cells(qs, c_ids, c_unit, "query_id", "query_vec", 2)
     cand = cells.join(qcells, "cid").count()
     assert cand < n * 3 / 2, f"candidates {cand} not pruned vs {n * 3}"
     assert approx.count() == 30
