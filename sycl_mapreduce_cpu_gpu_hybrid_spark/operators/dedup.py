@@ -434,6 +434,16 @@ def ngram_jaccard_pairs(
     agg = rows.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # agg feeds THREE consumers (intersections + both size join
+    # sides); the hoped-for AQE stage reuse does NOT materialize
+    # (verified: 6 parquet scans, 0 ReusedExchange in the executed
+    # plan), so without persist the whole explode + inverted-index
+    # lineage replays per consumer. The persisted frame is exactly the
+    # post-shuffle count output (candidate pairs + one marker row per
+    # doc) — already the smallest frame in the pipeline.
+    from pyspark import StorageLevel
+
+    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
     inter = agg.where(F.col("b").isNotNull()).withColumnRenamed("cnt", "inter")
     # sizes carry one row per surviving doc — big at corpus scale, so
     # no broadcast hint: AQE picks broadcast when it measures small
