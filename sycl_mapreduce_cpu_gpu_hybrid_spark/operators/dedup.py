@@ -464,6 +464,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assembly: near-dup PAIRS -> connected
+    components, labeling every document with the minimum doc id of its
+    component (DataFrame[id, cluster_id]). This is the stage a real
+    curation pipeline runs after LSH + verify — keep min(cluster), drop
+    the rest — and the reason pair output alone isn't a dedup.
+
+    Pregel-style min-label propagation: each round, every vertex takes
+    the min label among itself and its neighbors (join edges->labels,
+    union, min-agg); converged when no label changed. Rounds needed =
+    component diameter — LSH duplicate clusters are near-cliques
+    (diameter ~2), so this terminates in 2-4 rounds in practice;
+    ``max_iters`` bounds adversarial chains, and the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is the documented upgrade to
+    O(log n) rounds if a corpus ever produces deep chains.
+
+    Scale notes: state is one row per vertex *that appears in a pair*
+    (duplicates only — a small fraction of the corpus), edges are
+    persisted once and reused every round, and each round's labels are
+    persisted then explicitly unpersisted after the next round
+    materializes, so cache never holds more than two label
+    generations. The convergence probe is a limit(1) count — it stops
+    at the first changed label rather than counting all of them.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    prev_persisted: DataFrame | None = None
+    for _ in range(max_iters):
+        prop = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

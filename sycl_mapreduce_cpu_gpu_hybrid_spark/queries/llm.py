@@ -31,6 +31,7 @@ from ..operators.similarity import (
     queries_from_corpus,
 )
 from ..operators.dedup import (
+    connected_components,
     embedding_lsh_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -59,6 +60,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup endgame: near-dup pairs (exact ngram-Jaccard verify
+    tier) -> connected components -> every clustered doc labeled with
+    its component's min doc id (the canonical survivor). Oracled via a
+    DuckDB recursive CTE computing the same min-label closure over the
+    same pair set."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=6, threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
 
 
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,8 +194,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the pair oracle and the cluster oracle (which wraps it in
+# a recursive min-label closure) — one source of truth for the pair
+# semantics on the DuckDB side.
+_NGRAM_PAIRS_SQL = """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 6) AS g
+            FROM documents, unnest(generate_series(1, length(text) - 5)) AS t(i)
+            WHERE length(text) >= 6
+        ), hot AS (
+            SELECT g FROM sh GROUP BY g
+            HAVING count(*) > greatest(1, CAST(floor(
+                0.02 * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT))
+        ), kept AS (
+            SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+        ), inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON a = sa.doc_id
+        JOIN sizes sb ON b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    """
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "dedup_clusters": dedup_clusters,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -256,29 +298,21 @@ ORACLES = {
         FROM documents
         GROUP BY 1
     """,
-    "dedup_ngram_jaccard": """
-        WITH sh AS (
-            SELECT DISTINCT doc_id, substr(text, i, 6) AS g
-            FROM documents, unnest(generate_series(1, length(text) - 5)) AS t(i)
-            WHERE length(text) >= 6
-        ), hot AS (
-            SELECT g FROM sh GROUP BY g
-            HAVING count(*) > greatest(1, CAST(floor(
-                0.02 * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT))
-        ), kept AS (
-            SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
-        ), inter AS (
-            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-            FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
+    "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r
+            FROM reach JOIN edges e ON e.src = reach.id
         )
-        SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON a = sa.doc_id
-        JOIN sizes sb ON b = sb.doc_id
-        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
 }
 

@@ -151,3 +151,32 @@ def test_embedding_near_dup_exact_vs_lsh(spark, sf_dir):
     assert exact, "fixture should contain pairs at 0.4"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"LSH recall {recall:.2f} below floor"
+
+
+def test_connected_components_planted(spark):
+    """Min-label propagation: a 5-chain (diameter 4 — needs multiple
+    rounds), a separate pair, and a triangle all collapse to their
+    component minimum; vertices outside any pair never appear."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_empty(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert connected_components(pairs).count() == 0
