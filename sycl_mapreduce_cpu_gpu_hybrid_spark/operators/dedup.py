@@ -191,14 +191,14 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col, portable=portable)
     # The signature stage feeds THREE consumers (banding + both
-    # pair-side rejoins) and Catalyst plans each branch from the scan
-    # up — the shingle explode + num_hashes min-aggs would run 3x
-    # (verified in the formatted plan: three parquet scans, no
-    # exchange reuse across the round-robin spread). Persist
-    # materializes it once; signatures are compact (~id + 8B x
-    # num_hashes per doc — orders of magnitude below the exploded
-    # shingle stream) and MEMORY_AND_DISK spills rather than OOMs at
-    # corpus scale. Measured ~35% off the whole pipeline at sf0.1.
+    # pair-side rejoins). Runtime AQE exchange reuse is only partial
+    # for this shape (1 ReusedExchange of the duplicated subplans —
+    # the explode + min-agg lineage still replayed), so persist
+    # materializes it once explicitly; signatures are compact (~id +
+    # 8B x num_hashes per doc — orders of magnitude below the
+    # exploded shingle stream) and MEMORY_AND_DISK spills rather than
+    # OOMs at corpus scale. Measured ~15-35% off the whole pipeline
+    # at sf0.1; pinned by tests/test_plans.py.
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -435,12 +435,15 @@ def ngram_jaccard_pairs(
         F.count(F.lit(1)).alias("cnt")
     )
     # agg feeds THREE consumers (intersections + both size join
-    # sides); the hoped-for AQE stage reuse does NOT materialize
-    # (verified: 6 parquet scans, 0 ReusedExchange in the executed
-    # plan), so without persist the whole explode + inverted-index
-    # lineage replays per consumer. The persisted frame is exactly the
-    # post-shuffle count output (candidate pairs + one marker row per
-    # doc) — already the smallest frame in the pipeline.
+    # sides). AQE did reuse the count exchange for this shape at
+    # runtime, but reuse proved shape-dependent across the dedup
+    # family (minhash got 1 of 4) and evaporates under plan edits;
+    # persisting the post-count frame (candidate pairs + one marker
+    # row per doc — the smallest frame in the pipeline) makes the
+    # once-only evaluation explicit, deterministic, and pinned by
+    # tests/test_plans.py. Measured faster than the AQE-reuse path
+    # (~1.0s -> ~0.6s at sf0.1: consumers skip the final agg replay
+    # and the per-branch re-planning).
     from pyspark import StorageLevel
 
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
