@@ -490,27 +490,31 @@ def connected_components(
     O(log n) rounds if a corpus ever produces deep chains.
 
     Scale notes: state is one row per vertex *that appears in a pair*
-    (duplicates only — a small fraction of the corpus), edges are
-    persisted once and reused every round, and each round's labels are
-    persisted then explicitly unpersisted after the next round
-    materializes, so cache never holds more than two label
-    generations. The convergence probe is a limit(1) count — it stops
-    at the first changed label rather than counting all of them.
+    (duplicates only — a small fraction of the corpus), and edges are
+    checkpointed once and reused every round. Each round's labels are
+    LINEAGE-TRUNCATED (localCheckpoint), not merely persisted: the
+    round-N plan references labels twice (self + propagation), so
+    without truncation the logical plan doubles per round — analysis
+    time alone goes exponential (measured: 23s at sf0.1 with persist,
+    ~3s with checkpointing). localCheckpoint trades executor-loss
+    recomputability for speed, the standard call for short-lived
+    iterative state; a long-running cluster job would point
+    ``sparkContext.setCheckpointDir`` at durable storage and use
+    ``checkpoint()``. The convergence probe is a limit(1) count — it
+    stops at the first changed label rather than counting all of them.
     """
-    from pyspark import StorageLevel
-
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
     )
-    prev_persisted: DataFrame | None = None
     for _ in range(max_iters):
         prop = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "label"
@@ -519,7 +523,7 @@ def connected_components(
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -528,13 +532,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
