@@ -119,6 +119,47 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline, composed from the operators
+    this engine ships — the shape a training-data build actually runs:
+
+    1. quality gate: composite quality_score >= 0.5 AND a minimum
+       whitespace-token count (the integer bound does the sharp
+       filtering — bit-exact across engines — while the score
+       threshold sits far below the fixture's 0.75+ score mass, so no
+       float-boundary row flips);
+    2. exact dedup: keep only the min doc_id per normalized content
+       hash;
+    3. near-dup dedup: drop every doc whose ngram-Jaccard connected
+       component has a smaller member (the canonical survivor policy
+       of dedup_clusters);
+    4. report: per-language surviving doc + token counts.
+
+    Each stage is the independently-oracled operator applied to the
+    full corpus, so the composition itself is what this query proves;
+    the DuckDB oracle replays all three predicates (recursive-CTE
+    clusters, md5 exact-keep, quality gate) over the same parquet."""
+    d = _docs(spark, sf_dir)
+    keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    dropped = (
+        connected_components(ngram_jaccard_pairs(d, k=6, threshold=0.6))
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = (
+        d.where(
+            (quality_score("text") >= F.lit(0.5))
+            & (whitespace_token_count("text") >= F.lit(30))
+        )
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(dropped, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count("text")).cast("bigint").alias("ws_tokens"),
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -225,6 +266,7 @@ _NGRAM_PAIRS_SQL = """
 QUERIES = {
     "text_token_stats": text_token_stats,
     "dedup_clusters": dedup_clusters,
+    "corpus_curate": corpus_curate,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -299,6 +341,50 @@ ORACLES = {
         GROUP BY 1
     """,
     "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+    "corpus_curate": rf"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r
+            FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        dropped AS (
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) != id
+        ),
+        keep_exact AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+                   round(least(greatest(
+                       (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                            / greatest(length(text), 1)) * 0.6
+                       + least((length(trim(text)) * 1.0
+                            / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END, 1))
+                            / 8.0, 1.0) * 0.3
+                       + (1 - length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+                            * 1.0 / greatest(length(text), 1)) * 0.1,
+                   0.0), 1.0), 4) AS q
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS ws_tokens
+        FROM scored
+        WHERE q >= 0.5 AND nt >= 30
+          AND doc_id IN (SELECT doc_id FROM keep_exact)
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY lang
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
         edges AS (
