@@ -17,6 +17,7 @@ from ..operators.multimodal import (
 from ..sources.tables import load_table
 from ..streaming.events import (
     session_counts,
+    stream_interval_join_to_table,
     stream_purchases_to_parquet,
     stream_running_max_to_table,
     stream_sliding_to_table,
@@ -64,6 +65,14 @@ def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state equals plain per-key count/max of the whole backlog,
     which is the oracle."""
     return stream_running_max_to_table(spark, sf_dir)
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x purchases within 1 hour,
+    watermarked state eviction on both sides) drained through the
+    engine; oracled as the equivalent batch self-join + interval
+    predicate."""
+    return stream_interval_join_to_table(spark, sf_dir)
 
 
 def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,6 +175,7 @@ QUERIES = {
     "stream_parquet_sink": stream_parquet_sink,
     "stream_sliding_avg": stream_sliding_avg,
     "stream_running_max": stream_running_max,
+    "stream_interval_join": stream_interval_join,
     "udf_kernel_pack": udf_kernel_pack,
     "multimodal_features": multimodal_features,
 }
@@ -213,6 +223,15 @@ ORACLES = {
     "stream_running_max": """
         SELECT user_id, count(*) AS n_events, max(value) AS max_value
         FROM events GROUP BY user_id
+    """,
+    "stream_interval_join": """
+        SELECT c.user_id, count(*) AS n_pairs,
+               round(sum(p.value), 2) AS sum_purchase_value
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
     """,
     "udf_kernel_pack": """
         WITH r AS (

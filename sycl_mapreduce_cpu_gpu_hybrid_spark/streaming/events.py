@@ -221,6 +221,58 @@ def stream_running_max_to_table(
     )
 
 
+def stream_interval_join_to_table(
+    spark: SparkSession, sf_dir: str, name: str = "stream_ss_join"
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the purchases
+    that follow within 1 hour, both sides watermarked so join state is
+    EVICTED as event time advances — the property that makes a
+    stream-stream join runnable forever (state holds only the
+    watermark horizon, not the stream history). Inner join rows emit
+    as soon as both inputs arrive (append mode withholds nothing for
+    inner joins); the drained rows are aggregated per user in batch
+    for a compact deterministic result.
+
+    The fixture replays as a single availableNow micro-batch (one
+    parquet file), so watermark eviction cannot drop true pairs here;
+    on a live multi-batch stream the 2-hour watermark bounds both
+    state size and how late a side may arrive."""
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts"
+            " AND p_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("user_id", "click_ts", "p_ts", "value")
+    # join state keys = users in the watermark horizon (150 in the
+    # fixture): 4 state partitions measured best locally; size to
+    # horizon key-cardinality on a real deployment (see
+    # stream_tumbling_to_table's state_partitions discussion)
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    run_available_now(joined, name, mode="append")
+    return (
+        scoped.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("sum_purchase_value"),
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", key: str = "user_id"
 ) -> DataFrame:
