@@ -180,3 +180,40 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "a long, b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graphs vs a reference union-find: component labels
+    must equal the component minimum for every vertex."""
+    import random
+
+    rng = random.Random(7)
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 35))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        vertices = {v for e in edges for v in e}
+        expected = {v: find(v) for v in vertices}
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
