@@ -94,3 +94,20 @@ def test_streaming_state_conf_restored(spark, sf_dir):
         spark, sf_dir, name="t_state_conf", dedup_key="event_id", state_partitions=4
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+
+
+def test_connected_components_lineage_truncated(spark, sf_dir):
+    # iterative label propagation references the labels frame twice
+    # per round: without per-round lineage truncation the logical plan
+    # doubles each iteration (measured: 23.5s analysis at sf0.1). The
+    # returned frame must sit on a checkpointed (shallow) plan — a
+    # LogicalRDD scan, not the full iterative lineage.
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    out = connected_components(pairs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert len(plan) < 5000, f"lineage not truncated ({len(plan)} chars)"
