@@ -220,6 +220,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.py) declared
+    against the gate: lineitem grouped by l_returnflag — 3 hot groups,
+    exactly the key-concentration shape salting exists for. Partials
+    aggregate per (key, salt), then merge per key; results are
+    identical to the plain groupBy (algebraic aggregates), which IS
+    the oracle."""
+    from ..operators.skew import salted_group_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = salted_group_sum(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_extendedprice": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("max_l_extendedprice", 2).alias("max_price"),
+    )
+
+
 def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over two keys — all 4 grouping combinations,
     a strict superset of ROLLUP's 3 (the rollup subtotals and grand
@@ -479,6 +504,7 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup_cube": agg_rollup_cube,
+    "skew_salted_agg": skew_salted_agg,
     "agg_pivot": agg_pivot,
     "join_inner_agg": join_inner_agg,
     "join_left_count": join_left_count,
@@ -552,6 +578,11 @@ ORACLES = {
         SELECT l_returnflag,
                count(DISTINCT l_suppkey) AS distinct_supp,
                count(DISTINCT l_partkey) AS distinct_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "skew_salted_agg": """
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+               round(max(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY l_returnflag
     """,
     "agg_rollup_cube": """
