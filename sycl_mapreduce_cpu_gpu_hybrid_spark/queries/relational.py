@@ -271,6 +271,40 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2.5 join family -------------------------------------------------------
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-layout lever on the gate: customer and orders are
+    bucketed by custkey ONCE (idempotent per session — the write-time
+    shuffle that amortizes across every later join at 100 TB), then
+    joined with NO exchange on either side (bucket specs match;
+    bucket-sorted data merge-joins without a sort). Result aggregates
+    per market segment; oracle is the plain SQL join — the layout must
+    not change a single row."""
+    import re as _re
+
+    from ..sources.warehouse import bucketed_join, write_bucketed
+
+    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
+    cust_t, ord_t = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(cust_t) or not spark.catalog.tableExists(ord_t):
+        write_bucketed(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            cust_t,
+            "c_custkey",
+        )
+        write_bucketed(
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+            ),
+            ord_t,
+            "c_custkey",
+        )
+    j = bucketed_join(spark, cust_t, ord_t, "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi-join (shuffle hash-partitioned on the key) + agg."""
     c = _t(spark, sf_dir, "customer")
@@ -513,6 +547,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_multi_broadcast": join_multi_broadcast,
+    "join_bucketed_colocated": join_bucketed_colocated,
     "join_range_band": join_range_band,
     "asof_last_purchase": asof_last_purchase,
     "window_latest_order": window_latest_order,
@@ -634,6 +669,12 @@ ORACLES = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "join_bucketed_colocated": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
     """,
     "join_multi_broadcast": """
         SELECT r_name, count(*) AS n_items,
