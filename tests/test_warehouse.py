@@ -51,3 +51,17 @@ def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     assert "day" in pf, plan
     # pruned scan reads exactly that day's rows
     assert scan.count() == events.where(F.col("day") == F.lit(one_day)).count()
+
+
+def test_declared_bucketed_join_no_join_exchange(spark, sf_dir):
+    """The declared query's join must run exchange-free: the only
+    Exchange in the executed plan is the final aggregation shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["join_bucketed_colocated"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints final + initial plans; judge the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert final.count("Exchange") <= 1, final
