@@ -17,6 +17,7 @@ from ..operators.multimodal import (
 from ..sources.tables import load_table
 from ..streaming.events import (
     session_counts,
+    stream_enrich_to_table,
     stream_interval_join_to_table,
     stream_purchases_to_parquet,
     stream_running_max_to_table,
@@ -73,6 +74,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine; oracled as the equivalent batch self-join + interval
     predicate."""
     return stream_interval_join_to_table(spark, sf_dir)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (purchase stream x customer
+    dim), the stateless streaming-ETL staple; oracled as the batch
+    join."""
+    return stream_enrich_to_table(spark, sf_dir)
 
 
 def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +184,7 @@ QUERIES = {
     "stream_sliding_avg": stream_sliding_avg,
     "stream_running_max": stream_running_max,
     "stream_interval_join": stream_interval_join,
+    "stream_static_enrich": stream_static_enrich,
     "udf_kernel_pack": udf_kernel_pack,
     "multimodal_features": multimodal_features,
 }
@@ -223,6 +232,13 @@ ORACLES = {
     "stream_running_max": """
         SELECT user_id, count(*) AS n_events, max(value) AS max_value
         FROM events GROUP BY user_id
+    """,
+    "stream_static_enrich": """
+        SELECT c.c_mktsegment, count(*) AS n,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
     """,
     "stream_interval_join": """
         SELECT c.user_id, count(*) AS n_pairs,

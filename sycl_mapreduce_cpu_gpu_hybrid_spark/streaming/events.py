@@ -273,6 +273,37 @@ def stream_interval_join_to_table(
     )
 
 
+def stream_enrich_to_table(
+    spark: SparkSession, sf_dir: str, name: str = "stream_enrich"
+) -> DataFrame:
+    """Stream-static enrichment join: the purchase stream joined to
+    the customer dimension (broadcast — stateless, no watermark
+    needed; the static side is re-resolvable per micro-batch, which
+    is how slowly-changing dims refresh mid-stream). Drained rows
+    aggregate per market segment in batch."""
+    from ..sources.tables import load_table
+
+    scoped = spark.newSession()
+    src = stream_events(scoped, sf_dir)
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    dim = load_table(scoped, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = purchases.join(F.broadcast(dim), "user_id")
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    run_available_now(enriched, name, mode="append")
+    return (
+        scoped.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", key: str = "user_id"
 ) -> DataFrame:
