@@ -41,6 +41,31 @@ def register_grouped_agg_kernel(
     return udf
 
 
+def register_top_words_udtf(spark: SparkSession, name: str = "top_words"):
+    """Python UDTF (table function, Spark 4 §2.9 surface): one input
+    row -> many output rows, the user-kernel analog of the reference's
+    map functor *emitting multiple records* per element — the one
+    extension-point shape scalar/agg UDFs can't express. Deterministic
+    by construction (count-desc, word-asc tiebreak) so the whole
+    Python path rides the DuckDB value-hash oracle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string, cnt bigint, rnk int")
+    class TopWords:
+        def eval(self, doc_id, text):
+            from collections import Counter
+
+            toks = [t for t in re.split(r"\s+", (text or "").strip().lower()) if t]
+            best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for i, (w, c) in enumerate(best):
+                yield doc_id, w, c, i + 1
+
+    spark.udtf.register(name, TopWords)
+    return TopWords
+
+
 # --- stock kernels ----------------------------------------------------------
 
 

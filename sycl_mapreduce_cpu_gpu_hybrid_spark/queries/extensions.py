@@ -120,6 +120,23 @@ def udf_kernel_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: per-document top-3 words with
+    deterministic tiebreak, the one-row-to-many-rows user-kernel
+    surface. Bounded to 200 docs like udf_kernel_pack (Python path —
+    demo of the API, not a hot-path pattern)."""
+    from ..functions.udf import register_top_words_udtf
+
+    register_top_words_udtf(spark)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.word, t.cnt, t.rnk"
+        " FROM _udtf_docs AS d, LATERAL top_words(d.doc_id, d.text) AS t"
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media pipeline: documents -> opaque payloads + typed
     metadata -> mapInPandas byte-histogram features (the stand-in for
@@ -186,6 +203,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "udf_kernel_pack": udf_kernel_pack,
+    "udtf_top_words": udtf_top_words,
     "multimodal_features": multimodal_features,
 }
 
@@ -259,6 +277,23 @@ ORACLES = {
         SELECT bucket, count(*) AS n_docs,
                round(sqrt(avg(ratio * ratio)), 4) AS rms_ratio
         FROM r GROUP BY bucket
+    """,
+    "udtf_top_words": r"""
+        WITH toks AS (
+            SELECT doc_id, t AS word
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(t)
+            WHERE doc_id < 200 AND t != ''
+        ), counts AS (
+            SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2
+        ), ranked AS (
+            SELECT doc_id, word, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, word) AS rnk
+            FROM counts
+        )
+        SELECT doc_id, word, cnt, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 3
     """,
     "multimodal_features": _multimodal_oracle_sql(),
 }
