@@ -13,6 +13,7 @@ from ..operators.multimodal import (
     MODALITIES,
     attach_fake_media,
     byte_histogram_features,
+    sample_frames,
 )
 from ..sources.tables import load_table
 from ..streaming.events import (
@@ -161,6 +162,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling on the gate: video payloads sliced into 32-byte
+    frames JVM-side (substring arithmetic on the binary column, no
+    Python), keeping every 2nd frame. Frames are emitted as hex
+    strings because the driver hash needs a stable text rendering of
+    binary (and DuckDB cannot slice BLOBs — its oracle slices the hex
+    rendering at 2x the offsets instead)."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_nth=2, frame_bytes=32)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame").cast("int").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 def _multimodal_oracle_sql() -> str:
     """DuckDB replay of the byte-histogram feature pipeline, generated
     from the SAME constants the Spark side consumes (FEATURE_DIM,
@@ -204,6 +222,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "udf_kernel_pack": udf_kernel_pack,
     "udtf_top_words": udtf_top_words,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_features": multimodal_features,
 }
 
@@ -296,4 +315,20 @@ ORACLES = {
         FROM ranked WHERE rnk <= 3
     """,
     "multimodal_features": _multimodal_oracle_sql(),
+    "multimodal_frame_sample": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+            WHERE {sql_list(MODALITIES)}[CAST(doc_id % {len(MODALITIES)} AS INT) + 1]
+                  = 'video'
+        ), frames AS (
+            SELECT media_id, CAST(i AS INT) AS frame_idx,
+                   substr(hx, CAST(i * 64 + 1 AS BIGINT), 64) AS frame_hex
+            FROM media, unnest(range(0, (n - 1) // 32 + 1)) AS u(i)
+        )
+        SELECT media_id, frame_idx,
+               CAST(length(frame_hex) // 2 AS INT) AS n_bytes, frame_hex
+        FROM frames WHERE frame_idx % 2 = 0
+    """,
 }
