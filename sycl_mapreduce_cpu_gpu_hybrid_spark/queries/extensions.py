@@ -162,6 +162,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source on the gate: orders written once to a header CSV
+    (idempotent per warehouse dir), read back through the
+    explicit-schema reader (sources/files.py — no inference pass),
+    aggregated per status. The oracle aggregates the original parquet:
+    the text round-trip must be value-exact (Java double formatting is
+    shortest-round-trip; dates are ISO)."""
+    import os
+    import re as _re
+
+    from ..sources.files import read_csv
+
+    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
+    path = f"spark-warehouse/csv_orders_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        ).write.mode("overwrite").option("header", True).csv(path)
+    df = read_csv(
+        spark,
+        path,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " o_orderdate date",
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling on the gate: video payloads sliced into 32-byte
     frames JVM-side (substring arithmetic on the binary column, no
@@ -223,6 +254,7 @@ QUERIES = {
     "udf_kernel_pack": udf_kernel_pack,
     "udtf_top_words": udtf_top_words,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "source_csv_roundtrip": source_csv_roundtrip,
     "multimodal_features": multimodal_features,
 }
 
@@ -313,6 +345,12 @@ ORACLES = {
         )
         SELECT doc_id, word, cnt, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= 3
+    """,
+    "source_csv_roundtrip": """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(max(o_orderdate) AS DATE) AS last_date
+        FROM orders GROUP BY o_orderstatus
     """,
     "multimodal_features": _multimodal_oracle_sql(),
     "multimodal_frame_sample": f"""
