@@ -193,6 +193,33 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source on the gate, mirroring source_csv_roundtrip:
+    events (sans timestamp — JSON timestamp serialization is
+    TZ-format-sensitive; the scalar packs cover timestamps) written
+    once as JSONL, read back through the explicit-schema reader,
+    aggregated per type."""
+    import os
+    import re as _re
+
+    from ..sources.files import read_json
+
+    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
+    path = f"spark-warehouse/json_events_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        ).write.mode("overwrite").json(path)
+    df = read_json(
+        spark, path, "event_id bigint, event_type string, user_id bigint, value double"
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling on the gate: video payloads sliced into 32-byte
     frames JVM-side (substring arithmetic on the binary column, no
@@ -255,6 +282,7 @@ QUERIES = {
     "udtf_top_words": udtf_top_words,
     "multimodal_frame_sample": multimodal_frame_sample,
     "source_csv_roundtrip": source_csv_roundtrip,
+    "source_json_roundtrip": source_json_roundtrip,
     "multimodal_features": multimodal_features,
 }
 
@@ -351,6 +379,12 @@ ORACLES = {
                round(sum(o_totalprice), 2) AS sum_price,
                CAST(max(o_orderdate) AS DATE) AS last_date
         FROM orders GROUP BY o_orderstatus
+    """,
+    "source_json_roundtrip": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
     """,
     "multimodal_features": _multimodal_oracle_sql(),
     "multimodal_frame_sample": f"""
