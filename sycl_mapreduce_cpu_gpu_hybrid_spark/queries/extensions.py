@@ -220,6 +220,32 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source on the gate (Spark's second built-in columnar
+    format — same pushdown/pruning machinery as parquet): lineitem
+    columns written once as ORC, read back, filtered + aggregated so
+    the scan exercises predicate pushdown on the ORC reader. Oracle
+    aggregates the original parquet."""
+    import os
+    import re as _re
+
+    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
+    path = f"spark-warehouse/orc_lineitem_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+        ).write.mode("overwrite").orc(path)
+    df = spark.read.orc(path)
+    return (
+        df.where(F.col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling on the gate: video payloads sliced into 32-byte
     frames JVM-side (substring arithmetic on the binary column, no
@@ -283,6 +309,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
     "multimodal_features": multimodal_features,
 }
 
@@ -385,6 +412,12 @@ ORACLES = {
                count(DISTINCT user_id) AS n_users,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    "source_orc_roundtrip": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_discount > 0.05
+        GROUP BY l_returnflag
     """,
     "multimodal_features": _multimodal_oracle_sql(),
     "multimodal_frame_sample": f"""
