@@ -160,6 +160,28 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (80/10/10) by hash
+    bucket of the doc id — the split every training pipeline needs to
+    be STABLE under corpus growth (a doc's split never changes when
+    other docs are added, unlike fraction-based sampleBy). Uses the
+    portable md5 hash so the DuckDB oracle reproduces every
+    assignment bit-identically; per-(lang, split) counts are the
+    declared output."""
+    from ..functions.porthash import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -267,6 +289,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "dedup_clusters": dedup_clusters,
     "corpus_curate": corpus_curate,
+    "corpus_split": corpus_split,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -341,6 +364,20 @@ ORACLES = {
         GROUP BY 1
     """,
     "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+    "corpus_split": """
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM b GROUP BY 1, 2
+    """,
     "corpus_curate": rf"""
         WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
         edges AS (
