@@ -39,11 +39,33 @@ from . import extensions, kmerq, llm, relational, scalars
 _MODULES = [kmerq, relational, scalars, llm, extensions]
 
 
+# Queries with the thinnest driver evidence go FIRST in declaration
+# order: a driver that samples a bounded prefix of the inventory must
+# cover these before re-sampling queries already green in prior
+# CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
+_GATE_PRIORITY = [
+    "stream_running_max",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "udtf_top_words",
+    "multimodal_frame_sample",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "agg_median_approx",
+    "agg_approx_distinct",
+    "similarity_ivf_topk",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared queries, ORACLED-FIRST: every query with a DuckDB
-    oracle precedes every rows-only one, so a driver that evaluates a
-    bounded prefix of the inventory always covers the full value-hash
-    surface before the (weaker) rows-only checks."""
+    """Declared queries, ordered PRIORITY → ORACLED → ROWS-ONLY: the
+    never/least-gated names precede everything, then every query with a
+    DuckDB oracle precedes the rows-only remainder, so a driver that
+    evaluates a bounded prefix of the inventory always covers the
+    weakest-evidence queries and the full value-hash surface first."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
@@ -51,10 +73,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 raise ValueError(f"duplicate query name {name!r}")
             out[name] = fn
     oracled = all_oracles()
-    return {
-        **{k: v for k, v in out.items() if k in oracled},
-        **{k: v for k, v in out.items() if k not in oracled},
-    }
+    prio = [k for k in _GATE_PRIORITY if k in out]
+    rest = [k for k in out if k not in set(prio)]
+    ordered = (
+        prio
+        + [k for k in rest if k in oracled]
+        + [k for k in rest if k not in oracled]
+    )
+    return {k: out[k] for k in ordered}
 
 
 def all_oracles() -> dict[str, str]:
