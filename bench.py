@@ -105,8 +105,14 @@ def run_inventory(
                 best = min(best, t["sec"])
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            spark.catalog.clearCache()
             continue
         timings[name] = round(best, 4)
+        # operators persist intra-query shared stages (dedup.py) and
+        # each of the 3 runs above registers fresh entries; centralized
+        # cleanup keeps a 65-query x 3-run session from accumulating
+        # cache blocks for its whole lifetime
+        spark.catalog.clearCache()
 
         def rec(metric: int, value: float) -> None:
             recorder.record(

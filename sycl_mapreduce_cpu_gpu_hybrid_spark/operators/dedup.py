@@ -198,7 +198,11 @@ def minhash_lsh_pairs(
     # 8B x num_hashes per doc — orders of magnitude below the
     # exploded shingle stream) and MEMORY_AND_DISK spills rather than
     # OOMs at corpus scale. Measured ~15-35% off the whole pipeline
-    # at sf0.1; pinned by tests/test_plans.py.
+    # at sf0.1; pinned by tests/test_plans.py. Lifetime: the persist
+    # must outlive the returned lazy frame, so it is not unpersisted
+    # here — the harnesses (bench.py, tests/parity.py) clearCache()
+    # between queries; other long-lived sessions should do the same
+    # after materializing the result.
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -443,7 +447,9 @@ def ngram_jaccard_pairs(
     # once-only evaluation explicit, deterministic, and pinned by
     # tests/test_plans.py. Measured faster than the AQE-reuse path
     # (~1.0s -> ~0.6s at sf0.1: consumers skip the final agg replay
-    # and the per-branch re-planning).
+    # and the per-branch re-planning). Lifetime: outlives the returned
+    # lazy frame by design; harnesses clearCache() between queries
+    # (see minhash_lsh_pairs note).
     from pyspark import StorageLevel
 
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
@@ -479,63 +485,118 @@ def connected_components(
     curation pipeline runs after LSH + verify — keep min(cluster), drop
     the rest — and the reason pair output alone isn't a dedup.
 
-    Pregel-style min-label propagation: each round, every vertex takes
-    the min label among itself and its neighbors (join edges->labels,
-    union, min-agg); converged when no label changed. Rounds needed =
-    component diameter — LSH duplicate clusters are near-cliques
-    (diameter ~2), so this terminates in 2-4 rounds in practice;
-    ``max_iters`` bounds adversarial chains, and the alternating
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") is the documented upgrade to
-    O(log n) rounds if a corpus ever produces deep chains.
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round
+    rewires every vertex's strictly-larger neighbors to its
+    neighborhood minimum (large-star), then points every vertex and
+    its smaller neighbors at the minimum of the smaller neighborhood
+    (small-star). Connectivity is preserved by both operations and the
+    edge set converges to a star forest — every vertex pointing
+    directly at its component minimum — in **O(log n) rounds even on
+    adversarial deep chains** (a 10k-edge path converges in ~log2 n
+    rounds; pinned by tests/test_properties.py), vs the
+    diameter-bound rounds of plain min-label propagation. LSH
+    duplicate clusters are near-cliques (diameter ~2) and finish in
+    1-2 rounds.
 
-    Scale notes: state is one row per vertex *that appears in a pair*
-    (duplicates only — a small fraction of the corpus), and edges are
-    checkpointed once and reused every round. Each round's labels are
-    LINEAGE-TRUNCATED (localCheckpoint), not merely persisted: the
-    round-N plan references labels twice (self + propagation), so
-    without truncation the logical plan doubles per round — analysis
-    time alone goes exponential (measured: 23s at sf0.1 with persist,
-    ~3s with checkpointing). localCheckpoint trades executor-loss
-    recomputability for speed, the standard call for short-lived
-    iterative state; a long-running cluster job would point
-    ``sparkContext.setCheckpointDir`` at durable storage and use
-    ``checkpoint()``. The convergence probe is a limit(1) count — it
-    stops at the first changed label rather than counting all of them.
+    Scale notes: state is the contracted edge list — one row per
+    (vertex, current parent) over vertices *that appear in a pair*
+    (duplicates only, a small fraction of the corpus). Each round's
+    edge set is LINEAGE-TRUNCATED (localCheckpoint), not merely
+    persisted: round N's plan references round N-1's twice, so
+    without truncation the logical plan doubles per round and
+    analysis time alone goes exponential (measured on the min-label
+    predecessor: 23s at sf0.1 with persist, ~3s with checkpointing).
+    localCheckpoint trades executor-loss recomputability for speed,
+    the standard call for short-lived iterative state; a long-running
+    cluster job would point ``sparkContext.setCheckpointDir`` at
+    durable storage and use ``checkpoint()``. The convergence probe
+    is a limit(1) anti-join — it stops at the first changed edge.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without
+    convergence rather than silently returning partial (wrong)
+    labels; with O(log n) convergence the default 25 covers any graph
+    to ~2^25 vertices, so tripping this means a bug, not a big input.
     """
+    labels, _ = _connected_components_star(pairs, a_col, b_col, max_iters)
+    return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> tuple[DataFrame, int]:
+    """connected_components body; also returns the round count so the
+    O(log n) bound is testable."""
+    # canonical undirected edge set: (hi, lo) with hi > lo
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        prop = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "label"
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
         )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        edges.select(F.col("hi").alias("id"))
+        .union(edges.select(F.col("lo").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    converged = edges.isEmpty()
+    for _ in range(max_iters):
+        if converged:
+            break
+        rounds += 1
+        # large-star: per vertex u, attach every strictly-larger
+        # neighbor v to m = min(N(u) + {u})
+        both = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            both.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # small-star: per vertex u (edges already point hi -> smaller
+        # lo), attach u and all its smaller neighbors to their min
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        # fixpoint probe: stop at the first differing edge, either side
+        changed = (
+            ss.join(edges, ["hi", "lo"], "left_anti").limit(1).isEmpty() is False
+            or edges.join(ss, ["hi", "lo"], "left_anti").limit(1).isEmpty() is False
+        )
+        edges = ss
+        converged = not changed
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "refusing to return partial labels"
+        )
+    # star forest: every non-root points at its component min
+    mapping = edges.groupBy("hi").agg(F.min("lo").alias("root"))
+    return (
+        vertices.join(mapping, vertices["id"] == mapping["hi"], "left").select(
+            "id", F.coalesce("root", "id").alias("cluster_id")
+        ),
+        rounds,
+    )
 
 
 def embedding_near_dup_pairs(

@@ -111,7 +111,11 @@ def sample_frames(df: DataFrame, every_nth: int = 2, frame_bytes: int = 32) -> D
     payload into fixed-size frames and keep every n-th — JVM-side
     substring arithmetic on the binary column, exploded to one row per
     kept frame."""
-    frames = df.where(F.col("modality") == "video").select(
+    # length(payload) > 0 guard: sequence(0, -1) descends in Spark,
+    # yielding [0, -1] — an empty payload would emit a phantom frame
+    frames = df.where(
+        (F.col("modality") == "video") & (F.length("payload") > 0)
+    ).select(
         "media_id",
         F.posexplode(
             F.expr(

@@ -3,6 +3,8 @@ kernel registration path, and multimodal binary-column plumbing."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -162,6 +164,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_cache_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Written-once roundtrip copy location, keyed on a FINGERPRINT of
+    the source parquet (absolute path + per-file size + mtime) and
+    anchored under the system temp dir: regenerating the fixture or
+    running from a different CWD changes/relocates the key, so a stale
+    copy can never be read against a fresh oracle (r5 advice). The
+    caller still writes mode("overwrite") guarded on _SUCCESS within
+    the keyed dir, making the write idempotent per fixture state."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha256(os.path.abspath(src).encode())
+    files = (
+        [src]
+        if os.path.isfile(src)
+        else [os.path.join(src, p) for p in sorted(os.listdir(src))]
+    )
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        "smrgh_roundtrip",
+        f"{kind}_{table}_{h.hexdigest()[:16]}",
+    )
+
+
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source on the gate: orders written once to a header CSV
     (idempotent per warehouse dir), read back through the
@@ -169,13 +199,9 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per status. The oracle aggregates the original parquet:
     the text round-trip must be value-exact (Java double formatting is
     shortest-round-trip; dates are ISO)."""
-    import os
-    import re as _re
-
     from ..sources.files import read_csv
 
-    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
-    path = f"spark-warehouse/csv_orders_{tag}"
+    path = _roundtrip_cache_dir(sf_dir, "csv", "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
@@ -199,13 +225,9 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     TZ-format-sensitive; the scalar packs cover timestamps) written
     once as JSONL, read back through the explicit-schema reader,
     aggregated per type."""
-    import os
-    import re as _re
-
     from ..sources.files import read_json
 
-    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
-    path = f"spark-warehouse/json_events_{tag}"
+    path = _roundtrip_cache_dir(sf_dir, "json", "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "user_id", "value"
@@ -226,11 +248,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns written once as ORC, read back, filtered + aggregated so
     the scan exercises predicate pushdown on the ORC reader. Oracle
     aggregates the original parquet."""
-    import os
-    import re as _re
-
-    tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
-    path = f"spark-warehouse/orc_lineitem_{tag}"
+    path = _roundtrip_cache_dir(sf_dir, "orc", "lineitem")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_quantity", "l_discount"

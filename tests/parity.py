@@ -151,6 +151,11 @@ def run(
             )
         except Exception as exc:  # surface, keep going
             results.append({"name": name, "ok": False, "error": str(exc)[:500]})
+        finally:
+            # operators persist intra-query shared stages (dedup.py);
+            # cleanup is centralized here so entries can't accumulate
+            # across a 65-query session
+            spark.catalog.clearCache()
     return results
 
 

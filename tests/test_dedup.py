@@ -173,6 +173,42 @@ def test_connected_components_planted(spark):
     }
 
 
+def test_connected_components_logn_on_deep_chain(spark):
+    """Adversarial deep chain: a 10k-edge path graph (the worst case
+    for diameter-bound label propagation — it would need 10k rounds)
+    must converge in O(log n) star-contraction rounds and still label
+    every vertex with the component minimum."""
+    import math
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        _connected_components_star,
+    )
+
+    n_edges = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_edges)], "a long, b long"
+    )
+    labels, rounds = _connected_components_star(pairs)
+    bound = math.ceil(math.log2(n_edges + 1)) + 3
+    assert rounds <= bound, f"{rounds} rounds > log-bound {bound}"
+    assert labels.where("cluster_id != 0").isEmpty()
+    assert labels.count() == n_edges + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters must raise, never silently return partial
+    labels (callers would diverge from the oracle with no signal)."""
+    import pytest
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1)
+
+
 def test_connected_components_empty(spark):
     from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
         connected_components,
