@@ -190,15 +190,52 @@ def agg_median(
     )
 
 
+def _tol_flag(approx, exact, rel: float, abs_: float):
+    """1 iff |approx - exact| <= max(abs_, rel * |exact|) — the
+    integer certificate column of a bounded-error oracle (booleans and
+    raw sketch outputs are not driver-hash-safe; 0/1 ints are)."""
+    return (
+        F.abs(approx - exact) <= F.greatest(F.lit(abs_), F.abs(exact) * F.lit(rel))
+    ).cast("int")
+
+
 def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-scale median plan, declared: forces agg_median's
-    percentile_approx branch (mergeable fixed-size sketch, bounded
-    per-group memory) regardless of input size, so the 100 TB path is
-    exercised by the driver gate itself rather than only by a fallback
-    branch. Rows-only check by design — sketch outputs are
-    engine-specific; the exact-vs-approx error bound is pytest-asserted
+    """The at-scale median plan on the VALUE gate via a bounded-error
+    certificate: one aggregation computes both the mergeable-sketch
+    quantiles (percentile_approx, accuracy 1e4 — fixed-size state,
+    map-side merged, the bounded-memory 100 TB plan) and the exact
+    ones, then emits the exact values plus 0/1 flags asserting the
+    sketch landed within tolerance (quantity: ±1 absolute — the
+    sketch returns a data value while the exact median interpolates,
+    so adjacent-integer gaps are legal; prices: ±2% relative). DuckDB
+    replays the exact side and asserts every flag 1, so the driver
+    hash covers the approximation contract itself — not just row
+    shape. Tighter exact-vs-approx error is separately pytest-bounded
     (tests/test_relational.py)."""
-    return agg_median(spark, sf_dir, exact_max_rows=0)
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("_m"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("_p"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("_ma"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
+        ).alias("_pa"),
+    )
+    return g.select(
+        "l_linestatus",
+        F.round("_m", 4).alias("med_qty"),
+        F.round(F.col("_p")[0], 4).alias("p25_price"),
+        F.round(F.col("_p")[1], 4).alias("p75_price"),
+        _tol_flag(F.col("_ma"), F.col("_m"), rel=0.0, abs_=1.0).alias("med_ok"),
+        _tol_flag(F.col("_pa")[0], F.col("_p")[0], rel=0.02, abs_=0.0).alias(
+            "p25_ok"
+        ),
+        _tol_flag(F.col("_pa")[1], F.col("_p")[1], rel=0.02, abs_=0.0).alias(
+            "p75_ok"
+        ),
+    )
 
 
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,12 +248,24 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch — the at-scale replacement for exact
-    distinct. No oracle: sketch estimates are engine-specific
-    (rows-only check); the pytest bound asserts <2% relative error."""
+    """HyperLogLog++ on the VALUE gate via a bounded-error
+    certificate: one aggregation computes the sketch estimate
+    (register-merge state, the at-scale replacement for exact
+    distinct's expand shuffle) alongside the exact count, and emits
+    the exact count plus a 0/1 flag asserting |approx - exact| within
+    3% (3x the configured rsd=0.01). DuckDB replays the exact count
+    and asserts the flag 1 — the hash covers the estimate's error
+    bound, not just row shape. The tighter pytest bound stays in
+    tests/test_relational.py."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part")
+        F.countDistinct("l_partkey").alias("exact_part"),
+        _tol_flag(
+            F.approx_count_distinct("l_partkey", rsd=0.01),
+            F.countDistinct("l_partkey"),
+            rel=0.03,
+            abs_=0.0,
+        ).alias("approx_ok"),
     )
 
 
@@ -609,10 +658,26 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         FROM lineitem GROUP BY l_linestatus
     """,
+    "agg_median_approx": """
+        SELECT l_linestatus,
+               round(median(l_quantity), 4) AS med_qty,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+               CAST(1 AS INT) AS med_ok,
+               CAST(1 AS INT) AS p25_ok,
+               CAST(1 AS INT) AS p75_ok
+        FROM lineitem GROUP BY l_linestatus
+    """,
     "agg_count_distinct": """
         SELECT l_returnflag,
                count(DISTINCT l_suppkey) AS distinct_supp,
                count(DISTINCT l_partkey) AS distinct_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_part,
+               CAST(1 AS INT) AS approx_ok
         FROM lineitem GROUP BY l_returnflag
     """,
     "skew_salted_agg": """

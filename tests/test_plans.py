@@ -75,8 +75,10 @@ def test_minhash_pairs_signature_stage_cached(spark, sf_dir):
     # the signature stage (shingle explode + 64 min-aggs) feeds three
     # consumers; AQE reused only 1 of the duplicate exchanges at
     # runtime (partial, shape-dependent), so the stage is persisted —
-    # all three consumers must read the cache
-    df = entry.queries()["dedup_minhash_pairs"](spark, sf_dir)
+    # all three consumers must read the cache. Pinned on the portable
+    # pair query (dedup_minhash_pairs is now a recall certificate
+    # whose plan unions in the ngram truth side).
+    df = entry.queries()["dedup_minhash_portable"](spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final

@@ -65,11 +65,20 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         .collect()
     }
     approx = {
-        r["l_returnflag"]: r["approx_part"]
-        for r in relational.agg_approx_distinct(spark, sf_dir).collect()
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("d"))
+        .collect()
     }
     for flag, ex in exact.items():
         assert approx[flag] == pytest.approx(ex, rel=0.02)
+    # the declared certificate must agree: exact counts + all flags 1
+    cert = {
+        r["l_returnflag"]: (r["exact_part"], r["approx_ok"])
+        for r in relational.agg_approx_distinct(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in cert.items()} == exact
+    assert all(v[1] == 1 for v in cert.values())
 
 
 def test_agg_median_approx_fallback(spark, sf_dir):
