@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "stream_interval_join",
     "stream_static_enrich",
     "udtf_top_words",
+    "udtf_top_words_arrow",
     "multimodal_frame_sample",
     "source_csv_roundtrip",
     "source_json_roundtrip",
