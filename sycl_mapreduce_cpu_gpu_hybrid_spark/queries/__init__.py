@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "stream_running_max",
     "stream_interval_join",
     "stream_static_enrich",
+    "stream_rate_source",
     "udtf_top_words",
     "udtf_top_words_arrow",
     "multimodal_frame_sample",

@@ -23,6 +23,7 @@ from ..streaming.events import (
     stream_enrich_to_table,
     stream_interval_join_to_table,
     stream_purchases_to_parquet,
+    stream_rate_source_to_parquet,
     stream_running_max_to_table,
     stream_sliding_to_table,
     stream_tumbling_to_table,
@@ -53,6 +54,30 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     files read back and aggregated per day in batch. Oracled — the
     sink must hold exactly the rows the batch filter selects."""
     return stream_purchases_to_parquet(spark, sf_dir)
+
+
+_RATE_ROWS_PER_BATCH = 2000
+_RATE_N_BATCHES = 5
+
+
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-file streaming source on the gate: 5 checkpointed restarts
+    of a rate-micro-batch query (the broker-less stand-in for Kafka —
+    same offset-tracking/resume/exactly-once-append path, different
+    admission), then a batch aggregation over the drained sink. The
+    oracle regenerates the exact expected value range [0, 10000) with
+    generate_series: any duplicate or gap across the 5 restarts
+    changes n/sum_value and fails the hash. ``sf_dir`` is unused —
+    the source is synthetic by nature."""
+    df = stream_rate_source_to_parquet(
+        spark,
+        rows_per_batch=_RATE_ROWS_PER_BATCH,
+        n_batches=_RATE_N_BATCHES,
+    )
+    return df.groupBy((F.col("value") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
 
 
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +366,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_parquet_sink": stream_parquet_sink,
+    "stream_rate_source": stream_rate_source,
     "stream_sliding_avg": stream_sliding_avg,
     "stream_running_max": stream_running_max,
     "stream_interval_join": stream_interval_join,
@@ -377,6 +403,13 @@ ORACLES = {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "stream_rate_source": f"""
+        SELECT CAST(v % 10 AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_value
+        FROM generate_series(0, {_RATE_ROWS_PER_BATCH * _RATE_N_BATCHES - 1}) t(v)
+        GROUP BY 1
     """,
     "stream_parquet_sink": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -9,7 +9,11 @@ invariant, SURVEY §5).
 
 At cluster scale the source would be Kafka (`readStream.format
 ("kafka")`) — here the file source replays the parquet fixture, which
-exercises the identical watermark/state machinery.
+exercises the identical watermark/state machinery, and the
+rate-micro-batch source (stream_rate_source_to_parquet) executes the
+non-file admission path: offset tracking, checkpoint resume across
+restarts, exactly-once append — everything a broker deployment uses
+except the broker itself (descoped, SURVEY §2.1).
 """
 
 from __future__ import annotations
@@ -422,6 +426,45 @@ def stream_purchases_to_parquet(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def stream_rate_source_to_parquet(
+    spark: SparkSession,
+    base_dir: str | None = None,
+    rows_per_batch: int = 2000,
+    n_batches: int = 5,
+) -> DataFrame:
+    """The NON-FILE streaming source path, end to end: the
+    rate-micro-batch source generates offset-tracked synthetic rows
+    (value = a monotonically increasing long — exactly ``rows_per_
+    batch`` per micro-batch, deterministic by construction), drained
+    through a checkpointed parquet sink over ``n_batches`` separate
+    query STARTS against the same checkpoint. Each restart resumes
+    from the committed offset — after k restarts the sink holds
+    exactly values [0, k * rows_per_batch), never a duplicate, never
+    a gap. This is the offset-tracking / checkpoint-resume /
+    exactly-once-append machinery a Kafka deployment exercises, proven
+    without a broker: swapping ``format("rate-micro-batch")`` for
+    ``format("kafka")`` (sources/connectors.py:read_kafka_stream)
+    changes the source admission only, not the state/commit path.
+    Kafka itself is descoped (no broker exists in this environment or
+    the reference's — SURVEY §2.1)."""
+    import tempfile
+
+    base = base_dir or tempfile.mkdtemp(prefix="smrgh_rate_")
+    scoped = spark.newSession()
+    for _ in range(n_batches):
+        src = (
+            scoped.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        stream_to_parquet(
+            src.select("value"), f"{base}/data", f"{base}/ckpt"
+        )
+    return scoped.read.parquet(f"{base}/data")
 
 
 def stream_foreach_batch(

@@ -135,3 +135,16 @@ def test_rocksdb_state_store_agrees_and_restores_conf(spark, sf_dir):
     assert _rows(rocks, cols) == _rows(default, cols)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior_parts
     assert spark.conf.get(key, None) is None
+
+
+def test_rate_source_restart_exactly_once(spark):
+    """Non-file source E2E: n_batches separate query starts against
+    one checkpoint must yield exactly the contiguous value range —
+    a duplicate (offset replayed) or gap (offset skipped) fails."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stream_rate_source_to_parquet,
+    )
+
+    df = stream_rate_source_to_parquet(spark, rows_per_batch=50, n_batches=3)
+    vals = sorted(r["value"] for r in df.collect())
+    assert vals == list(range(150))
