@@ -50,6 +50,56 @@ from sycl_mapreduce_cpu_gpu_hybrid_spark.plans.metrics import (  # noqa: E402
 POINTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "points.txt")
 SWEEP_KS = [2, 4, 8, 16]
 SWEEP_NS = [100, 200, 400]
+# reference-MAGNITUDE grid (README.md:3-10: N up to 5,000,000
+# chars/file; truncator.sh:14-20 / runprogram.sh k up to 64): the r5
+# verdict flagged the toy grid above as shape-only, so SWEEP=1 now
+# also runs the real magnitudes over MAG_DOCS documents expanded by
+# text repetition (fixture docs are short; repetition keeps the
+# distinct-k-mer space bounded while the explode volume scales to
+# N x MAG_DOCS = 120M k-mers at the top point — the throughput shape
+# that matters at cluster scale)
+MAG_NS = [5_000, 50_000, 500_000, 5_000_000]
+MAG_KS = [2, 8, 64]
+MAG_DOCS = 24
+# fixed DuckDB reference timings recorded with every bench artifact:
+# the host showed a whole-machine ~1.5x drift between r3 and r5, so
+# round-over-round Spark comparisons self-normalize against the same
+# single-threaded floor measured in the same session
+DUCK_FLOOR_SQL = {
+    "scan_agg": (
+        "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s"
+        " FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    "join_agg": (
+        "SELECT c_mktsegment, count(*) AS n FROM orders"
+        " JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"
+    ),
+    "string_scan": "SELECT count(*) AS n, sum(length(text)) AS chars FROM documents",
+}
+
+
+def duck_floor(sf_dir: str) -> dict[str, float]:
+    """Min-of-2 warm DuckDB timings for three fixed queries on the
+    same parquet — the drift anchor for BENCH_r{N} comparisons."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    floors: dict[str, float] = {}
+    for name, sql in DUCK_FLOOR_SQL.items():
+        con.execute(sql).fetchall()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            with timed() as t:
+                con.execute(sql).fetchall()
+            best = min(best, t["sec"])
+        floors[name] = round(best, 4)
+    floors["total"] = round(sum(floors.values()), 4)
+    return floors
 # local-size permutation sweep, mirroring runprogram.sh:119-129's
 # work-group sizes 1..512 at fixed N; the Spark local-size knob is
 # spark.sql.shuffle.partitions
@@ -158,6 +208,39 @@ def run_sweep(spark, sf_dir: str, recorder: MetricsRecorder, ls: int) -> None:
             )
 
 
+def run_sweep_magnitude(spark, sf_dir: str, recorder: MetricsRecorder, ls: int) -> None:
+    """The reference grid at its REAL magnitudes (N to 5M chars/doc,
+    k to 64) over MAG_DOCS docs whose text is tiled by repetition to
+    exactly N chars. The expanded corpus is MATERIALIZED once per N
+    (localCheckpoint — executor-side rows, the driver never holds a
+    5 MB string): leaving the repeat() in the lazy plan would
+    re-evaluate the O(N) expansion under every downstream projection.
+    ``spread=True`` is forced because Catalyst's size stats don't
+    model the 1000x row expansion (the auto decision would see the
+    tiny parquet scan and run single-task). The top grid point pushes
+    ~120M exploded k-mers through the byte-windowed map kernel and
+    the group-count reduce."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmer import kmer_count
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(f"doc_id < {MAG_DOCS}")
+    for n in MAG_NS:
+        expanded = docs.selectExpr(
+            "doc_id",
+            f"substring(repeat(text, int(ceil({n} / greatest(length(text), 1)))),"
+            f" 1, {n}) AS text",
+        ).localCheckpoint()
+        for k in MAG_KS:
+            q = kmer_count(expanded, k=k, min_count=2, spread=True)
+            force(q)  # warm-up, suppressed (runprogram.sh:29-41)
+            with timed() as t:
+                force(q)
+            recorder.record(
+                n=n, k=k, ls=ls, lsc=ls, mode="spark-local",
+                metric=METRIC_TIME_MS, value=round(t["sec"] * 1000, 3),
+            )
+
+
 def run_ls_sweep(spark, sf_dir: str, recorder: MetricsRecorder) -> None:
     """The reference's local-size permutation sweep (runprogram.sh:
     119-129): work-group sizes 1..512 at fixed N. The Spark local-size
@@ -207,6 +290,7 @@ def main() -> None:
     timings = run_inventory(spark, sf_dir, recorder, n_scale, ls, errors)
     if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
         run_sweep(spark, sf_dir, recorder, ls)
+        run_sweep_magnitude(spark, sf_dir, recorder, ls)
         run_ls_sweep(spark, sf_dir, recorder)
     recorder.write_points(POINTS_PATH)
 
@@ -216,6 +300,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "duck_floor": duck_floor(sf_dir),
     }
     if errors:
         out["errors"] = errors

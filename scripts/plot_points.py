@@ -23,7 +23,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import SWEEP_KS, SWEEP_LS, SWEEP_NS  # noqa: E402
+from bench import MAG_KS, MAG_NS, SWEEP_KS, SWEEP_LS, SWEEP_NS  # noqa: E402
 
 # validated categorical palette (dataviz reference instance; fixed
 # slot order, direct labels carry identity alongside color)
@@ -207,6 +207,39 @@ def main() -> None:
         with open(os.path.join(outdir, "sweep_ls.svg"), "w") as fh:
             fh.write(svg)
         print(f"wrote {outdir}/sweep_ls.svg ({len(pts)} points)")
+
+    # reference-magnitude grid (bench.MAG_KS x MAG_NS, N to 5M chars):
+    # log-x so the 1000x N range reads as decades
+    mag = min_by(
+        [r for r in rows if r["k"] in MAG_KS and r["N"] in MAG_NS],
+        lambda r: (r["k"], r["N"]),
+    )
+    if mag:
+        import math
+
+        series = [
+            (
+                f"k={k}",
+                [
+                    (math.log10(n), mag[(k, n)])
+                    for n in MAG_NS
+                    if (k, n) in mag
+                ],
+            )
+            for k in MAG_KS
+        ]
+        series = [(lbl, pts) for lbl, pts in series if pts]
+        svg = plot_lines(
+            series,
+            "k-mer reduce time at reference magnitudes",
+            "chars per document (log10 N)",
+            "time (ms)",
+            [math.log10(n) for n in MAG_NS],
+            x_tick_fmt=lambda v: f"1e{int(round(v))}",
+        )
+        with open(os.path.join(outdir, "sweep_magnitude.svg"), "w") as fh:
+            fh.write(svg)
+        print(f"wrote {outdir}/sweep_magnitude.svg ({len(series)} series)")
 
 
 if __name__ == "__main__":

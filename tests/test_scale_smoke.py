@@ -90,3 +90,46 @@ def test_exact_percentile_hot_group(spark):
     ).fetchone()
     assert row["med"] == pytest.approx(want[0], abs=1e-6)
     assert row["p75"] == pytest.approx(want[1], abs=1e-6)
+
+
+def test_dedup_pipeline_sf1_smoke(spark):
+    """sf1-equivalent dedup rehearsal: the sf0.1 corpus replicated 10x
+    (~50k docs — sf1 cardinality, ~15M chars) through the pipeline in
+    its real order: exact dedup FIRST (collapses replica groups — at
+    scale those would otherwise blow past the LSH bucket cap and be
+    dropped), then MinHash LSH and cluster assembly over survivors.
+    Must complete without OOM or driver-collect blowup, and the
+    surviving near-dup cluster structure must exactly equal the base
+    corpus's — replication can neither invent nor lose structure."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    reps = 10
+    big = docs.crossJoin(
+        spark.range(reps).select(F.col("id").alias("_rep"))
+    ).select((F.col("doc_id") + F.col("_rep") * n).alias("doc_id"), "text")
+
+    def survivors(frame):
+        keep = exact_dedup(frame).select(F.col("keep_id").alias("doc_id"))
+        return frame.join(keep, "doc_id", "left_semi")
+
+    big_groups = exact_dedup(big)
+    assert big_groups.where(F.col("n_copies") < reps).isEmpty()
+
+    def clusters(frame):
+        pairs = minhash_lsh_pairs(
+            frame, k=6, num_hashes=64, bands=16, threshold=0.7
+        )
+        return {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+
+    assert clusters(survivors(big)) == clusters(survivors(docs))
