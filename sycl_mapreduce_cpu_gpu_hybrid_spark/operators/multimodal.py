@@ -2,12 +2,13 @@
 columns with typed metadata, processed through Arrow-batched
 mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises NotImplementedError unless a
-deterministic fake decoder is requested. Everything around it — the
-schema contract, batch iteration shape, feature extraction, frame
-sampling — is real and tested, so dropping in PIL/librosa later only
-replaces the innermost function.
+The decode step is REAL for PNG / BMP / PPM-PGM images and RIFF/WAVE
+PCM audio: ``operators/codecs.py`` implements those container formats
+directly in stdlib zlib + numpy (no PIL/opencv in this environment,
+none needed). ``decode_image`` dispatches on magic bytes; only
+formats requiring external codec libraries (JPEG, MP3, H.264, ...)
+raise NotImplementedError, with the ``fake=True`` deterministic
+decoder retained for arbitrary-bytes fixtures.
 
 Scale notes: payloads stay in executor memory only for the lifetime
 of one Arrow batch (bound via spark.sql.execution.arrow
@@ -23,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .codecs import decode_image_bytes, decode_wav, encode_png, encode_wav, sniff_format
 
 MEDIA_SCHEMA = (
     "media_id bigint, modality string, payload binary, "
@@ -58,17 +61,113 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array. STUB: the real
-    implementation needs PIL/opencv (absent here); ``fake=True``
-    derives a deterministic 4x4x3 array from the payload bytes so the
-    downstream plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, not available in this environment; "
-            "pass fake=True for the deterministic test decoder"
-        )
-    h = np.frombuffer(payload[:48].ljust(48, b"\0"), dtype=np.uint8)
-    return h.reshape(4, 4, 3)
+    """Decode an image payload to an ndarray. REAL decode for PNG,
+    BMP, and PPM/PGM containers (pure stdlib+numpy parsers in
+    operators/codecs.py — round-trip pinned by tests); ``fake=True``
+    keeps the legacy deterministic 4x4x3 derivation for
+    arbitrary-bytes fixtures whose payloads aren't a recognized
+    container. Formats needing external codec libraries (JPEG, ...)
+    raise NotImplementedError."""
+    if fake and sniff_format(payload) is None:
+        h = np.frombuffer(payload[:48].ljust(48, b"\0"), dtype=np.uint8)
+        return h.reshape(4, 4, 3)
+    return decode_image_bytes(payload)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM-16 payload to ((n, ch) int16 samples,
+    sample_rate) via the real RIFF chunk parser in codecs.py."""
+    return decode_wav(payload)
+
+
+def attach_encoded_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real-container media fixture: one deterministic RGB image per
+    document, ENCODED TO ACTUAL PNG BYTES (codecs.encode_png) in an
+    Arrow-batched mapInPandas stage. Dimensions follow the metadata
+    contract of attach_fake_media (h = id%48+1, w = id%64+1); pixel
+    (y, x, c) = (id*31 + y*7 + x*3 + c) % 256 — a closed form a SQL
+    oracle can replay without any codec, so a hash-gated consumer of
+    this fixture proves the PNG encode->decode round-trip end to end."""
+    out_schema = "media_id bigint, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                h, w = i % 48 + 1, i % 64 + 1
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((i * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def attach_encoded_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real-container audio fixture: PCM-16 mono RIFF/WAVE payloads
+    (codecs.encode_wav) with n = id%100+20 samples, sample t =
+    ((id*7 + t*13) % 2048) - 1024 — again a closed form an oracle can
+    replay codec-free."""
+    out_schema = "media_id bigint, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = i % 100 + 20
+                t = np.arange(n)
+                samples = (((i * 7 + t * 13) % 2048) - 1024).astype(np.int16)
+                payloads.append(encode_wav(samples, sample_rate=16000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real RIFF parse) and reduce each to
+    integer sample statistics — the audio analog of the image
+    decode->feature stage."""
+    out_schema = (
+        "media_id bigint, sample_rate int, n_samples bigint,"
+        " sum_amp bigint, min_amp int, max_amp int"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_samples", "sum_amp", "min_amp", "max_amp")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                mono = samples[:, 0].astype(np.int64)
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(mono))
+                out["sum_amp"].append(int(mono.sum()))
+                out["min_amp"].append(int(mono.min()))
+                out["max_amp"].append(int(mono.max()))
+            yield pd.DataFrame(out)
+
+    return (
+        df.where(F.col("modality") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(stats, schema=out_schema)
+    )
 
 
 def byte_histogram_features(

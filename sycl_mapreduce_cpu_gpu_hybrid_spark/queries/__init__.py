@@ -44,6 +44,8 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
+    "multimodal_decode_resize",
+    "multimodal_audio_stats",
     "stream_running_max",
     "stream_interval_join",
     "stream_static_enrich",

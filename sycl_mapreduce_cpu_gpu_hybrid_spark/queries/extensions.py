@@ -13,8 +13,12 @@ from ..functions.udf import vowel_ratio_udf
 from ..operators.multimodal import (
     FEATURE_DIM,
     MODALITIES,
+    attach_encoded_audio,
+    attach_encoded_images,
     attach_fake_media,
+    audio_stats,
     byte_histogram_features,
+    resize_images,
     sample_frames,
 )
 from ..sources.tables import load_table
@@ -329,6 +333,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode on the gate: per-document deterministic RGB
+    images are encoded to actual PNG bytes (zlib-deflated, filtered
+    scanlines — operators/codecs.py), carried as a binary column
+    across an Arrow batch boundary, DECODED by the real PNG parser,
+    then nearest-neighbor resized to 8x8. The oracle replays the pixel
+    formula + resize arithmetic in pure SQL with no codec anywhere, so
+    a value-hash match proves the encode->transport->decode->resample
+    chain is bit-exact."""
+    media = attach_encoded_images(load_table(spark, sf_dir, "documents"))
+    resized = resize_images(media, out_w=8, out_h=8, fake_decode=False)
+    px_int = F.transform("pixels", lambda x: x.cast("bigint"))
+    return resized.select(
+        "media_id",
+        F.aggregate(
+            px_int, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("px_sum"),
+        F.array_join(
+            F.slice(F.transform("pixels", lambda x: x.cast("bigint").cast("string")), 1, 12),
+            ",",
+        ).alias("head_csv"),
+    )
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode on the gate: deterministic PCM-16 waveforms
+    encoded to actual RIFF/WAVE containers, decoded by the real RIFF
+    chunk parser, reduced to integer sample statistics. Oracle replays
+    the sample formula in SQL — codec-free — so the hash covers the
+    WAV round-trip."""
+    media = attach_encoded_audio(load_table(spark, sf_dir, "documents"))
+    return audio_stats(media)
+
+
 def _multimodal_oracle_sql() -> str:
     """DuckDB replay of the byte-histogram feature pipeline, generated
     from the SAME constants the Spark side consumes (FEATURE_DIM,
@@ -379,6 +417,8 @@ QUERIES = {
     "source_json_roundtrip": source_json_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
     "multimodal_features": multimodal_features,
+    "multimodal_decode_resize": multimodal_decode_resize,
+    "multimodal_audio_stats": multimodal_audio_stats,
 }
 
 ORACLES = {
@@ -527,5 +567,47 @@ ORACLES = {
         SELECT media_id, frame_idx,
                CAST(length(frame_hex) // 2 AS INT) AS n_bytes, frame_hex
         FROM frames WHERE frame_idx % 2 = 0
+    """,
+    # codec-free replay of the deterministic pixel formula + 8x8
+    # nearest-neighbor resample; Spark's side goes through the REAL
+    # PNG encoder/decoder, so hash equality certifies the codec.
+    "multimodal_decode_resize": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 48 + 1 AS h, doc_id % 64 + 1 AS w
+            FROM documents
+        ), px AS (
+            SELECT doc_id, yo.i AS yo, xo.i AS xo, c.i AS c,
+                   CAST((doc_id * 31
+                         + LEAST((yo.i * h) // 8, h - 1) * 7
+                         + LEAST((xo.i * w) // 8, w - 1) * 3
+                         + c.i) % 256 AS BIGINT) AS v
+            FROM d,
+                 unnest(range(0, 8)) AS yo(i),
+                 unnest(range(0, 8)) AS xo(i),
+                 unnest(range(0, 3)) AS c(i)
+        )
+        SELECT doc_id AS media_id,
+               SUM(v) AS px_sum,
+               array_to_string(
+                   (list(v ORDER BY yo, xo, c))[1:12], ',') AS head_csv
+        FROM px GROUP BY doc_id
+    """,
+    # codec-free replay of the PCM sample formula; Spark's side goes
+    # through the REAL RIFF/WAVE encoder/decoder.
+    "multimodal_audio_stats": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 100 + 20 AS n FROM documents
+        ), s AS (
+            SELECT doc_id, n,
+                   CAST((doc_id * 7 + t.i * 13) % 2048 - 1024 AS BIGINT) AS amp
+            FROM d, unnest(range(0, n)) AS t(i)
+        )
+        SELECT doc_id AS media_id,
+               16000 AS sample_rate,
+               n AS n_samples,
+               SUM(amp) AS sum_amp,
+               CAST(MIN(amp) AS INT) AS min_amp,
+               CAST(MAX(amp) AS INT) AS max_amp
+        FROM s GROUP BY doc_id, n
     """,
 }
