@@ -128,12 +128,22 @@ def run_inventory(
         import __spark_entry__ as entrymod
 
         queries = entrymod.queries()
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the inventory (iteration +
+    # external-measurement smoke runs)
+    if subset := os.environ.get("SPARK_GRAFT_QUERIES"):
+        names = {s.strip() for s in subset.split(",")}
+        queries = {k: v for k, v in queries.items() if k in names}
     if errors is None:
         errors = {}
 
     cpu = CpuMonitor()
     capture = StageMetricsCapture(spark)
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_MARKERS=1: emit the reference's START/STOP marker
+    # protocol (measyrepy.py:227-246) around each timed run so the
+    # external harness (scripts/measure.py) can bracket phases from
+    # outside the process
+    markers = os.environ.get("SPARK_GRAFT_MARKERS") == "1"
     for name, fn in queries.items():
         # Per-query fault isolation (round-5 fix): one broken query
         # must never zero the whole bench artifact — record the error
@@ -150,8 +160,12 @@ def run_inventory(
                 if i == 1:
                     stages_before = capture.stages()
                     cpu.snapshot_start()
+                if markers:
+                    print(f"START {name}", flush=True)
                 with timed() as t:
                     force(fn(spark, sf_dir))
+                if markers:
+                    print(f"STOP {name}", flush=True)
                 best = min(best, t["sec"])
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
