@@ -168,3 +168,52 @@ def winnowing_fingerprints(
         base.select(F.col(id_col), hashes.alias("_h"))
         .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
     )
+
+
+def repetition_profile(col: Column | str) -> Column:
+    """Gopher-style repetition signals as ONE struct column of exact
+    integers, computed entirely in JVM array expressions — per-doc
+    quality filtering needs NO shuffle, just a scan (the published
+    filters threshold on ratios; integer numerators/denominators are
+    emitted so consumers — and oracles — form the ratios themselves):
+
+    - n_words: whitespace tokens after normalization
+    - n_bigrams / n_dup_bigrams: overlapping word 2-grams and how many
+      are repeats (dup fraction = repeated-phrase signal)
+    - top_word_count: occurrences of the most frequent token (top-word
+      fraction = degenerate-repetition signal), found by a fold over
+      the sorted token array (longest equal run) — no explode/groupBy.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "), " ")
+    n_words = F.size(toks)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    n_dup = n_bigrams - F.size(F.array_distinct(bigrams))
+    run = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        n_bigrams.alias("n_bigrams"),
+        n_dup.alias("n_dup_bigrams"),
+        run.alias("top_word_count"),
+    )

@@ -1,0 +1,102 @@
+"""Benchmark decontamination: drop training documents that share word
+n-grams with a held-out evaluation set — the standard published
+procedure for LLM training corpora (n-gram overlap removal, as in the
+GPT-3 / PaLM / Gopher training-data sections).
+
+Additive to the reference (its corpus ETL is scan+truncate,
+src/main.cpp:40-53); part of this repo's LLM-pipeline inventory
+alongside operators/dedup.py.
+
+Scale posture (100 TB corpus vs ~GB benchmark):
+- The benchmark's distinct n-gram set is SMALL by nature (eval sets
+  are orders of magnitude smaller than training corpora) — it is
+  broadcast, so the corpus side is ONE scan: explode n-grams, hash
+  probe, partial-agg the per-doc hit counts. No shuffle of corpus
+  text, no all-pairs anything.
+- With ``broadcast_bench=False`` (benchmark too big for one
+  executor's memory) the join degrades gracefully to a shuffle hash
+  join keyed on the fixed-width md5 of the gram, so shuffle volume is
+  16 bytes per (doc, gram), never the gram text.
+- N-gram extraction is pure JVM expression work (split + slice +
+  array_join inside whole-stage codegen); Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def word_ngram_array(text_col: Column | str, n: int) -> Column:
+    """Array of overlapping word ``n``-grams (space-joined) of the
+    normalized text. Documents with fewer than ``n`` tokens yield an
+    empty array — the sequence() is guarded because Spark's
+    sequence(1, 0) DESCENDS ([1, 0]) rather than returning empty."""
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.size(toks) - (n - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) with per-document distinct word n-grams."""
+    return (
+        docs.select(id_col, F.explode(word_ngram_array(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document count of distinct n-grams shared with the
+    benchmark: (id, n_hits) for every corpus document with at least
+    one overlap. ``n=13`` is the published default for real corpora;
+    callers tune it to their tokenization."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngram_array(text_col, n)).alias("gram"))
+        .distinct()
+        .select(F.md5("gram").alias("gram_key"))
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = doc_ngrams(corpus, n, text_col, id_col).select(
+        id_col, F.md5("gram").alias("gram_key")
+    )
+    return (
+        corpus_grams.join(bench_grams, "gram_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Corpus minus contaminated documents (>= ``min_hits`` shared
+    n-grams), via left_anti against the hit set — corpus rows stream
+    through untouched; only ids shuffle."""
+    flagged = contamination_hits(
+        corpus, benchmark, n, text_col, id_col, broadcast_bench
+    ).where(F.col("n_hits") >= min_hits)
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

@@ -46,6 +46,8 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 _GATE_PRIORITY = [
     "multimodal_decode_resize",
     "multimodal_audio_stats",
+    "corpus_decontaminate",
+    "text_repetition",
     "stream_running_max",
     "stream_interval_join",
     "stream_static_enrich",

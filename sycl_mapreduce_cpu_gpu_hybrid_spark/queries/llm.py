@@ -24,10 +24,12 @@ from ..functions.text import (
     bpe_ish_token_count,
     lang_id,
     quality_score,
+    repetition_profile,
     stopword_ratio,
     whitespace_token_count,
     winnowing_fingerprints,
 )
+from ..operators.decontam import contamination_hits
 from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -407,7 +409,39 @@ _PAIR_CERT_SQL = f"""
         FROM ({_RAW_NGRAM_TRUTH_SQL})
     """
 
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination on the gate: documents with
+    doc_id % 37 == 0 pose as the held-out eval set; every other
+    document sharing >= 1 distinct word 4-gram with it is flagged with
+    its hit count. The benchmark's n-gram set is broadcast (eval sets
+    are small by nature), so the corpus side is one scan + one
+    partial-agg — the shape that survives a 100 TB corpus. n=4 suits
+    the fixture's tiny vocabulary; real corpora use n~13
+    (operators/decontam.py)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_hits(corpus, bench, n=4)
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — duplicate-bigram
+    and top-word counts as exact integers from pure JVM array
+    expressions (no shuffle: the plan is scan -> project). Quality
+    pipelines threshold ratios of these columns."""
+    rep = repetition_profile("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        rep["n_words"].alias("n_words"),
+        rep["n_bigrams"].alias("n_bigrams"),
+        rep["n_dup_bigrams"].alias("n_dup_bigrams"),
+        rep["top_word_count"].alias("top_word_count"),
+    )
+
+
 QUERIES = {
+    "corpus_decontaminate": corpus_decontaminate,
+    "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "dedup_clusters": dedup_clusters,
     "corpus_curate": corpus_curate,
@@ -426,6 +460,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same normalization + word-4-gram extraction in SQL; DISTINCT
+    # per-doc grams on both sides, benchmark = doc_id % 37 == 0
+    "corpus_decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                ' ') AS t
+            FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+            FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+        ), bench AS (
+            SELECT DISTINCT g FROM ng WHERE doc_id % 37 = 0
+        )
+        SELECT ng.doc_id, count(*) AS n_hits
+        FROM ng JOIN bench b USING (g)
+        WHERE ng.doc_id % 37 != 0
+        GROUP BY ng.doc_id
+    """,
+    "text_repetition": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                ' ') AS t
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)]
+                   ELSE [] END AS bigrams,
+                   len(t) AS n_words
+            FROM toks
+        ), words AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM toks, unnest(t) AS u(w) GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, max(c) AS top_word_count FROM words GROUP BY doc_id
+        )
+        SELECT bg.doc_id,
+               CAST(bg.n_words AS INT) AS n_words,
+               CAST(len(bg.bigrams) AS INT) AS n_bigrams,
+               CAST(len(bg.bigrams) - len(list_distinct(bg.bigrams)) AS INT)
+                   AS n_dup_bigrams,
+               CAST(top.top_word_count AS INT) AS top_word_count
+        FROM bg JOIN top USING (doc_id)
+    """,
     "text_token_stats": r"""
         SELECT lang, count(*) AS n_docs,
                CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
