@@ -44,6 +44,14 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
+    # round-6 additions — zero driver evidence yet
+    "text_pii_redact",
+    "text_unigram_surprise",
+    "corpus_sample_stratified",
+    "text_inverted_index",
+    "embedding_kmeans",
+    "merge_upsert",
+    # round-5 late additions — gated locally, never sampled by the driver
     "multimodal_decode_resize",
     "multimodal_audio_stats",
     "corpus_decontaminate",

@@ -418,7 +418,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg — the shape that survives a 100 TB corpus. n=4 suits
     the fixture's tiny vocabulary; real corpora use n~13
     (operators/decontam.py)."""
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import fan_out
+
+    docs = fan_out(_docs(spark, sf_dir))
     bench = docs.where(F.col("doc_id") % 37 == 0)
     corpus = docs.where(F.col("doc_id") % 37 != 0)
     return contamination_hits(corpus, bench, n=4)
@@ -429,8 +431,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-word counts as exact integers from pure JVM array
     expressions (no shuffle: the plan is scan -> project). Quality
     pipelines threshold ratios of these columns."""
+    from ..sources.tables import fan_out
+
     rep = repetition_profile("text")
-    return _docs(spark, sf_dir).select(
+    return fan_out(_docs(spark, sf_dir)).select(
         "doc_id",
         rep["n_words"].alias("n_words"),
         rep["n_bigrams"].alias("n_bigrams"),
@@ -887,3 +891,247 @@ ORACLES["dedup_embedding_pairs"] = _embedding_lsh_oracle_sql(
     max_bucket=_EMB_LSH["max_bucket"],
     dim=_EMB_LSH["dim"],
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: PII redaction, unigram-LM surprise scoring,
+# stratified sampling, inverted index, fixed-point k-means.
+# ---------------------------------------------------------------------------
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pack (functions/privacy.py): each document is
+    enriched with synthetic-but-realistic PII derived from its own
+    doc_id (the fixture corpus is PII-free word soup, so the redactor
+    would otherwise never fire), then every class is counted and
+    redacted. The declared output hashes the md5 of the fully
+    redacted text — the oracle must reproduce every replacement
+    byte-for-byte. Plan: one scan, pure JVM regex, no shuffle."""
+    from ..functions.privacy import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    enriched = F.concat(
+        F.lit("contact u"), k.cast("string"),
+        F.lit("@mail.example.com or 10."), (k % 256).cast("string"),
+        F.lit(".0."), ((k * 7) % 256).cast("string"),
+        F.lit(" phone 555-"), F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((k * 3) % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 042-68-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.substring(F.col("text"), 1, 160),
+    )
+    e = d.select("doc_id", enriched.alias("t"))
+    return e.select(
+        "doc_id",
+        *pii_counts("t").values(),
+        F.md5(redact_pii("t")).alias("redact_hash"),
+    )
+
+
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (perplexity proxy) in EXACT integer
+    arithmetic: per-token surprise = bits(total_tokens) - bits(count)
+    where bits(n) = length of n's binary form (= floor(log2 n) + 1,
+    computed via bin() on both engines — no float log whose last bit
+    could differ). Rare-word-heavy documents score high; boilerplate
+    scores low. Two corpus passes: build the vocab (shuffle on token),
+    then score docs with the vocab BROADCAST — the corpus-side rows
+    never shuffle. At 100 TB the vocab gets a document-frequency cap
+    (same hazard + fix as operators/dedup.ngram_jaccard_pairs)."""
+    from ..operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vb = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt"))))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    return (
+        toks.join(F.broadcast(vb), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("bits").alias("surprise_bits"),
+            F.expr("(sum(bits) * 10000) DIV count(*)").alias("mean_bits_e4"),
+        )
+    )
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: 10% of 'en' (the dominant
+    language), 25% of everything else, by portable hash bucket of
+    (lang, doc_id) — reproducible across engines AND stable under
+    corpus growth, unlike RNG sampleBy. Stateless filter: no shuffle,
+    fully pushdown-friendly."""
+    from ..functions.porthash import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    bucket = (
+        portable_hash64(
+            F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    pct = F.when(F.col("lang") == "en", 10).otherwise(25)
+    return d.where(bucket < pct).select("doc_id", "lang")
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (the classic MapReduce operator the
+    reference's group-count kernel generalizes): term -> document
+    frequency + comma-joined sorted posting list. Terms are word
+    BIGRAMS (the fixture's unigram vocabulary is 31 words each hitting
+    ~80% of docs — unigram postings carry no signal; real indexes face
+    the same head-term problem and solve it the same way: drop terms
+    above a df cap). Band: 2 <= df <= 100 — hapaxes and stop-terms
+    excluded. One shuffle on the term; posting lists are bounded by
+    the cap, so no reducer hot-spots at scale."""
+    from ..operators.dedup import normalize_text
+
+    toks = F.split(normalize_text("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from ..sources.tables import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
+    terms = d.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where((F.col("df") >= 2) & (F.col("df") <= 100))
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means (operators/kmeans.py): k=4, 2
+    iterations, seeded with the 4 smallest vec_ids — cluster sizes +
+    integer inertia, bit-identical to the DuckDB replay. The float
+    production twin is the mapInPandas Lloyd step inside
+    operators/similarity.ivf_topk."""
+    from ..operators.kmeans import kmeans_fixedpoint
+
+    return kmeans_fixedpoint(_emb(spark, sf_dir), k=4, iters=2)
+
+
+QUERIES.update(
+    {
+        "text_pii_redact": text_pii_redact,
+        "text_unigram_surprise": text_unigram_surprise,
+        "corpus_sample_stratified": corpus_sample_stratified,
+        "text_inverted_index": text_inverted_index,
+        "embedding_kmeans": embedding_kmeans,
+    }
+)
+
+
+def _pii_redact_oracle_sql() -> str:
+    from ..functions.privacy import pii_counts_sql, redact_pii_sql
+
+    enriched = (
+        "('contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || ' phone 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')"
+        " || ' ssn 042-68-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' :: ' || substr(text, 1, 160))"
+    )
+    counts = ",\n               ".join(pii_counts_sql("t").values())
+    return f"""
+        WITH e AS (SELECT doc_id, {enriched} AS t FROM documents)
+        SELECT doc_id,
+               {counts},
+               md5({redact_pii_sql('t')}) AS redact_hash
+        FROM e
+    """
+
+
+ORACLES["text_pii_redact"] = _pii_redact_oracle_sql()
+
+ORACLES["text_unigram_surprise"] = r"""
+    WITH toks AS (
+        SELECT doc_id, u.tok AS tok
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS ts
+              FROM documents) d,
+             unnest(d.ts) AS u(tok)
+        WHERE length(u.tok) > 0
+    ), vocab AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+    ), vb AS (
+        SELECT tok,
+               CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS bits
+        FROM vocab, tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS surprise_bits,
+           CAST((sum(bits) * 10000) // count(*) AS BIGINT) AS mean_bits_e4
+    FROM toks JOIN vb USING (tok)
+    GROUP BY doc_id
+"""
+
+
+def _sample_stratified_oracle_sql() -> str:
+    from ..functions.porthash import portable_hash64_sql
+
+    h = portable_hash64_sql("(lang || ':' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({h}) % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
+    """
+
+
+ORACLES["corpus_sample_stratified"] = _sample_stratified_oracle_sql()
+
+ORACLES["text_inverted_index"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),
+                                           '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ), terms AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS term
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM terms
+    GROUP BY term
+    HAVING count(*) BETWEEN 2 AND 100
+"""
+
+
+def _kmeans_oracle() -> str:
+    from ..operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=4, iters=2)
+
+
+ORACLES["embedding_kmeans"] = _kmeans_oracle()
