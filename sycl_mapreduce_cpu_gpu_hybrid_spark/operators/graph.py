@@ -1,0 +1,109 @@
+"""Iterative graph algorithms beyond connected components
+(operators/dedup.connected_components): PageRank in EXACT fixed-point
+integer arithmetic.
+
+Additive to the reference (its kernels are k-mer reductions,
+src/main.cpp:55-73); together with connected components this gives
+the engine the two canonical iterative-message-passing shapes —
+min-label propagation and degree-normalized rank flow.
+
+Why fixed-point: float PageRank is not bit-reproducible across
+engines (sum order), forcing rows-only checks. With ranks scaled to
+1e12 integers, per-edge contributions computed with truncating
+integer division (Spark ``DIV`` == DuckDB ``//`` on non-negatives)
+and the damping factor applied as ``(85 * x) DIV 100``, every
+iteration is deterministic to the last bit on both engines.
+
+Scale posture:
+- Each iteration is ONE shuffle: edges join ranks on src (both sides
+  hash-partitioned on the node id — co-partitioned across rounds),
+  partial-aggregated map-side on dst. State is |V| rank rows +
+  |E| edge rows, the same as any vertex-centric framework.
+- Iterations are FIXED (declared queries use 3); convergence-loop
+  callers should localCheckpoint per round exactly like
+  connected_components does.
+- Truncation leaks ≤ deg(u) rank units per node per round (bounded
+  by |E| × 1e-12 of total mass) — deterministic on both engines, so
+  the oracle agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000_000  # 1e12
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over DIRECTED ``edges(src, dst)`` (undirected graphs:
+    pass the union of both directions). Returns (node_id, rank_e12)
+    after ``iters`` rounds from a uniform 1e12 start. Nodes are the
+    union of srcs and dsts; with an undirected edge set every node
+    has out-degree >= 1, so no dangling-mass redistribution is needed
+    (documented limitation for directed inputs)."""
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .union(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node_id", F.lit(RANK_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("node_id"))
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("flow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                (
+                    F.expr(f"({100 - damping_pct} * {RANK_SCALE}) DIV 100")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(flow, 0)) DIV 100"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select("node_id", F.col("rank").alias("rank_e12"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB replay of :func:`pagerank_fixedpoint` over the edge set
+    produced by ``edges_sql`` (must yield columns src, dst)."""
+    d = damping_pct
+    steps = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node_id, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        steps.append(
+            f"""f{it} AS (
+                SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS flow
+                FROM edges e
+                JOIN deg d ON e.src = d.src
+                JOIN {prev} r ON e.src = r.node_id
+                GROUP BY e.dst
+            ), r{it} AS (
+                SELECT n.node_id,
+                       CAST(({100 - d} * {RANK_SCALE}) // 100
+                            + ({d} * coalesce(f.flow, 0)) // 100 AS BIGINT) AS rank
+                FROM nodes n LEFT JOIN f{it} f ON n.node_id = f.dst
+            )"""
+        )
+        prev = f"r{it}"
+    return f"""
+        WITH {", ".join(steps)}
+        SELECT node_id, rank AS rank_e12 FROM {prev}
+    """

@@ -45,6 +45,8 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
+    "dq_audit",
+    "graph_pagerank",
     "text_pii_redact",
     "text_unigram_surprise",
     "corpus_sample_stratified",

@@ -69,15 +69,19 @@ def _pair_recall_cert(
     carries the approximation contract — raw candidate sets are
     engine-hash-specific and can't hash, but their coverage of an
     exactly-defined truth set can. Integer arithmetic only (n_found *
-    100 >= floor * n_truth), no float boundary."""
-    found = truth.join(candidates, ["a", "b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
-    )
-    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    # 1-row x 1-row cross join: the certificate's two scalar aggregates
-    return totals.crossJoin(found).select(
-        "n_truth",
-        (F.col("n_found") * 100 >= F.lit(recall_floor_e2) * F.col("n_truth"))
+    100 >= floor * n_truth), no float boundary.
+
+    ONE pass over the truth frame: a left join against the deduped
+    candidate set marks hits, and a single aggregate counts total and
+    found together. (The original two-branch form — semi-join count
+    crossJoined with a separate total count — evaluated the expensive
+    truth lineage TWICE; AQE does not reuse it across the branches.
+    Measured: dedup_simhash_pairs 9.8s -> ~4s at sf0.1.)"""
+    hits = candidates.dropDuplicates(["a", "b"]).withColumn("_hit", F.lit(1))
+    joined = truth.join(hits, ["a", "b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (F.count("_hit") * 100 >= F.lit(recall_floor_e2) * F.count(F.lit(1)))
         .cast("int")
         .alias("recall_ok"),
     )

@@ -885,3 +885,153 @@ ORACLES["merge_upsert"] = """
     UNION ALL
     SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
 """
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the validation stage every
+    production pipeline runs before training data ships (null
+    fraction, key uniqueness, referential integrity, domain/range
+    checks), emitted as one row per check: (check, n_violations,
+    ok). Each check is an independent aggregate over one scan of its
+    table; the union is a plan of parallel branches, no cross-branch
+    shuffle. Referential integrity is an anti-join on the key —
+    broadcast when the dimension is small, the same scale shape as
+    the join family."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, viol):
+        return viol.select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).cast("int").alias("ok"),
+        )
+
+    checks = [
+        one(
+            "orders_key_not_null",
+            orders.agg(
+                F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n")
+            ),
+        ),
+        one(
+            "orders_key_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.when(F.col("c") > 1, 1)).alias("n")),
+        ),
+        one(
+            "orders_custkey_refs_customer",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    )
+                ).alias("n")
+            ),
+        ),
+        one(
+            "orders_status_domain",
+            orders.agg(
+                F.count(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                ).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_orderkey_refs_orders",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+QUERIES["dq_audit"] = dq_audit
+
+ORACLES["dq_audit"] = """
+    SELECT 'orders_key_not_null' AS check,
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(count(*) FILTER (o_orderkey IS NULL) = 0 AS INT) AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orders_key_unique',
+           CAST(count(*) FILTER (c > 1) AS BIGINT),
+           CAST(count(*) FILTER (c > 1) = 0 AS INT)
+    FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'orders_custkey_refs_customer',
+           CAST(count(*) AS BIGINT), CAST(count(*) = 0 AS INT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0 AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) = 0 AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_refs_orders',
+           CAST(count(*) AS BIGINT), CAST(count(*) = 0 AS INT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the undirected bipartite
+    customer–supplier trade graph (edge = customer's order contains
+    the supplier's lineitem; supplier node ids offset by 1e6), 3
+    fixed-point iterations — bit-exact vs the unrolled-CTE DuckDB
+    replay. High-degree suppliers accumulate rank: the importance
+    signal a procurement analysis would threshold on."""
+    from ..operators.graph import pagerank_fixedpoint
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_fixedpoint(edges, iters=3)
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    edges_sql = """
+        SELECT c AS src, s AS dst FROM (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        UNION ALL
+        SELECT s AS src, c AS dst FROM (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+    """
+    return pagerank_oracle_sql(edges_sql, iters=3)
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle()

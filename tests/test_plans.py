@@ -113,3 +113,38 @@ def test_connected_components_lineage_truncated(spark, sf_dir):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert len(plan) < 5000, f"lineage not truncated ({len(plan)} chars)"
+
+
+def test_pii_redact_no_shuffle(spark, sf_dir):
+    # pure JVM regex projection: scan -> project, zero Exchange
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_unigram_surprise_corpus_side_broadcast_join(spark, sf_dir):
+    # the vocab joins back to the exploded corpus via broadcast — the
+    # corpus token stream must NOT shuffle for the join (only the
+    # vocab build and the final per-doc agg exchange)
+    plan = _plan(spark, sf_dir, "text_unigram_surprise")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    # every assignment join carries the k*d centroid table broadcast;
+    # a sort-merge join on the dim index would shuffle the corpus
+    # long-form per iteration
+    plan = _plan(spark, sf_dir, "embedding_kmeans")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_sample_stratified")
+    assert "Exchange" not in plan, plan
+
+
+def test_merge_upsert_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "merge_upsert")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

@@ -215,3 +215,99 @@ def test_inverted_index_postings_sorted_and_capped(spark):
         assert ids == sorted(ids)
         assert len(ids) == r["df"]
         assert 2 <= r["df"] <= 100
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star receives maximal rank; leaves are symmetric."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    hub, leaves = 0, list(range(1, 9))
+    e = [(hub, l) for l in leaves] + [(l, hub) for l in leaves]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    ranks = {
+        r["node_id"]: r["rank_e12"]
+        for r in pagerank_fixedpoint(edges, iters=3).collect()
+    }
+    assert len(ranks) == 9
+    assert ranks[hub] > max(ranks[l] for l in leaves)
+    assert len({ranks[l] for l in leaves}) == 1, "leaves must be symmetric"
+    # total mass stays near n * RANK_SCALE (truncation leaks are tiny)
+    assert abs(sum(ranks.values()) - 9 * RANK_SCALE) < 9 * RANK_SCALE * 0.01
+
+
+def test_pagerank_matches_python_replication(spark):
+    """Bit-exact against an independent pure-python fixed-point
+    replication on a small random graph."""
+    import random
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    rng = random.Random(11)
+    und = {(rng.randrange(12), rng.randrange(12)) for _ in range(30)}
+    und = {(a, b) for a, b in und if a != b}
+    e = list(und) + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {
+        r["node_id"]: r["rank_e12"]
+        for r in pagerank_fixedpoint(edges, iters=3).collect()
+    }
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: RANK_SCALE for n in nodes}
+    for _ in range(3):
+        flow = {}
+        for a, b in e:
+            flow[b] = flow.get(b, 0) + rank[a] // deg[a]
+        rank = {
+            n: (15 * RANK_SCALE) // 100 + (85 * flow.get(n, 0)) // 100
+            for n in nodes
+        }
+    assert got == rank
+
+
+def test_dq_audit_all_green_on_fixture(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import dq_audit
+
+    rows = {r["check"]: r for r in dq_audit(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for name, r in rows.items():
+        assert r["ok"] == 1 and r["n_violations"] == 0, name
+
+
+def test_dq_audit_detects_violations(spark):
+    """Planted violations must be counted, not just flagged."""
+    import os, tempfile
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import dq_audit
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [
+                (1, 10, "O", 5.0, None, "1-URGENT"),
+                (1, 11, "X", 5.0, None, "1-URGENT"),  # dup key + bad status
+                (3, 99, "F", 5.0, None, "1-URGENT"),  # custkey 99 missing
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(os.path.join(td, "orders.parquet"))
+        spark.createDataFrame(
+            [(10, "a"), (11, "b")], "c_custkey bigint, c_name string"
+        ).write.parquet(os.path.join(td, "customer.parquet"))
+        spark.createDataFrame(
+            [(1, 1, 99.0), (3, 1, 5.0)],  # qty 99 out of range
+            "l_orderkey bigint, l_linenumber bigint, l_quantity double",
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        rows = {r["check"]: r for r in dq_audit(spark, td).collect()}
+    assert rows["orders_key_unique"]["n_violations"] == 1
+    assert rows["orders_status_domain"]["n_violations"] == 1
+    assert rows["orders_custkey_refs_customer"]["n_violations"] == 1
+    assert rows["lineitem_qty_range"]["n_violations"] == 1
+    assert rows["orders_key_not_null"]["ok"] == 1
