@@ -34,9 +34,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import extensions, kmerq, llm, relational, scalars
+from . import behavioral, extensions, kmerq, llm, relational, scalars
 
-_MODULES = [kmerq, relational, scalars, llm, extensions]
+_MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
 
 
 # Queries with the thinnest driver evidence go FIRST in declaration
@@ -45,6 +45,11 @@ _MODULES = [kmerq, relational, scalars, llm, extensions]
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
+    "events_funnel",
+    "events_cohort_retention",
+    "events_gapfill",
+    "scd2_order_priority",
+    "graph_triangles",
     "dq_audit",
     "graph_pagerank",
     "text_pii_redact",

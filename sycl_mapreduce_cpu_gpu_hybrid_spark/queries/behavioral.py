@@ -1,0 +1,378 @@
+"""Behavioral / time-series / graph analytics queries.
+
+These are additive operators the reference's MapReduce surface cannot
+express but a production analytics engine over event + order data is
+expected to ship (SURVEY.md §2 additive inventory, same contract as
+the LLM-pipeline family): ordered funnels, cohort retention, gap-fill
+resampling, SCD2 dimension builds, and triangle counting. Every query
+follows the hash-gate authoring convention of ``queries/__init__``:
+integer / date / string outputs only, fixed-point ``_e4`` ratios via
+integer division (Spark ``DIV`` == DuckDB ``//``, both truncate
+toward zero — verified in round 6 for embedding_kmeans).
+
+Scale posture (100 TB): each query is one or two shuffles on its
+natural key. The funnel and cohort queries shuffle ONCE on user_id
+and chain Window/groupBy operators over that single Exchange; the
+gap-fill grid is built from a broadcast 1-row span × the distinct
+key set (never a large cross join); SCD2 is one window shuffle on the
+dimension key; triangle counting df-caps hub parts (the same guard as
+dedup_ngram_jaccard's stop-shingle cap) before any pair generation so
+candidate wedges stay O(m·d_cap) instead of quadratic in a hub's
+degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- funnel
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase.
+
+    A user converts at stage i only with an event of that type STRICTLY
+    AFTER their stage-(i-1) conversion time (the ordered-sequence
+    semantics ad-hoc SQL gets wrong by just intersecting event types).
+    One shuffle: all three stage times are Window mins over the same
+    user_id partitioning, chained in a single Exchange; the final
+    stage-count rollup is a tiny global aggregate. Conversion ratios
+    are fixed-point e4 integers per the hash-gate convention.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    e = e.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t3", t3)
+    per_user = e.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_click"),
+        F.count("t3").cast("bigint").alias("n_purchase"),
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("n_click * 10000 DIV nullif(n_view, 0)").alias("click_rate_e4"),
+        F.expr("n_purchase * 10000 DIV nullif(n_click, 0)").alias("purchase_rate_e4"),
+    )
+
+
+_FUNNEL_SQL = """
+    WITH u AS (
+        SELECT user_id, min(ts) FILTER (event_type = 'view') AS t1
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'click' AND e.ts > u.t1
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT count(u.t1) AS n_view, count(c.t2) AS n_click,
+               count(p.t3) AS n_purchase
+        FROM u
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    )
+    SELECT CAST(n_view AS BIGINT) AS n_view,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(n_click * 10000 // nullif(n_view, 0) AS BIGINT) AS click_rate_e4,
+           CAST(n_purchase * 10000 // nullif(n_click, 0) AS BIGINT) AS purchase_rate_e4
+    FROM agg
+"""
+
+
+# ------------------------------------------------------- cohort retention
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = Monday-start week of
+    each user's FIRST event; a (cohort, offset) cell counts distinct
+    users from that cohort active offset weeks later. One shuffle on
+    user_id (window min for first_ts), then distinct + count over the
+    (cohort_week, week_offset, user) triples — both keyed aggregations
+    AQE-sized. date_trunc('week') is Monday-start in both engines."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("first_ts", F.min("ts").over(w))
+    pairs = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), date_trunc('week', first_ts))"
+                " DIV 7 AS INT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+    WITH f AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+               CAST(datediff('day', date_trunc('week', first_ts),
+                             date_trunc('week', ts)) // 7 AS INT) AS week_offset
+        FROM f
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- gap-fill
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with zero-fill: per event_type daily counts over
+    the complete min..max day span, missing (type, day) cells emitted
+    as 0 — the densification step every downstream time-series model
+    needs. The grid is distinct-keys × an exploded sequence from a
+    broadcast 1-row span (never a row-proportional cross join); the
+    left join back to real counts shuffles on the small grid side
+    only."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    span = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+_GAPFILL_SQL = """
+    WITH e AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+    grid AS (
+        SELECT t.event_type,
+               CAST(unnest(generate_series(span.d0, span.d1,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN span
+    )
+    SELECT g.event_type, g.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an ordered change
+    stream: each customer's o_orderpriority history collapses to
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the standard dimension-table derivation from CDC/order feeds (the
+    batch complement of merge_upsert's change application). One window
+    shuffle on the dimension key; the change filter and the lead() for
+    interval close reuse the same partitioning, so Catalyst plans a
+    single Exchange. Ordering ties on o_orderdate break by o_orderkey
+    for determinism."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.withColumn("prev", F.lag("o_orderpriority").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return chg.withColumn("valid_to", F.lead("o_orderdate").over(w2)).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    chg AS (
+        SELECT * FROM seq
+        WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority AS prio,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL AS INT) AS is_current
+    FROM chg
+"""
+
+
+# ------------------------------------------------------------ triangles
+
+_TRI_PART_CAP = 20  # drop hub parts: a part with d suppliers yields
+# d*(d-1)/2 edges, so an uncapped hub is the same quadratic hazard as
+# a stop-shingle in dedup_ngram_jaccard — cap it identically.
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-supply graph (suppliers
+    adjacent iff they supply a common part). The LLM-pipeline use is
+    identical in shape: triangles over a near-duplicate candidate
+    graph measure cluster density / transitivity before collapsing
+    clusters.
+
+    Scale shape: (1) candidate edges are generated per part AFTER the
+    df-cap kills hub parts, so edge generation is O(parts · cap²) not
+    O(hub²); (2) edges are canonical (s1 < s2) and deduplicated once;
+    (3) wedges extend from each edge's smaller endpoint and close via
+    a semi join — each triangle {x<y<z} is counted exactly once at
+    apex x. At 100 TB the id-orientation swaps for degree-orientation
+    (orient each edge low-degree → high-degree endpoint), bounding
+    wedge fan-out by O(sqrt(m)); id order is kept here because the
+    SQL oracle must count the identical set."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    keep = (
+        ps.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .where(F.col("n_s") <= _TRI_PART_CAP)
+        .select("pk")
+    )
+    capped = ps.join(keep, "pk", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s1") == F.col("e2.s1")) & (F.col("e1.s2") < F.col("e2.s2")),
+    ).select(F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c"))
+    closed = wedges.join(
+        e3, (F.col("b") == F.col("e3.s1")) & (F.col("c") == F.col("e3.s2")), "left_semi"
+    )
+    nodes = (
+        edges.select(F.col("s1").alias("s"))
+        .union(edges.select(F.col("s2").alias("s")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri))
+
+
+_TRIANGLES_SQL = f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    keep AS (
+        SELECT pk FROM ps GROUP BY pk HAVING count(*) <= {_TRI_PART_CAP}
+    ),
+    e AS (
+        SELECT DISTINCT a.sk AS s1, b.sk AS s2
+        FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        WHERE a.pk IN (SELECT pk FROM keep)
+    ),
+    tri AS (
+        SELECT count(*) AS n
+        FROM e e1
+        JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+        JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+    ),
+    nodes AS (
+        SELECT count(*) AS n
+        FROM (SELECT s1 AS s FROM e UNION SELECT s2 FROM e)
+    ),
+    ecnt AS (SELECT count(*) AS n FROM e)
+    SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+           CAST(ecnt.n AS BIGINT) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles
+    FROM nodes, ecnt, tri
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+    "events_gapfill": events_gapfill,
+    "scd2_order_priority": scd2_order_priority,
+    "graph_triangles": graph_triangles,
+}
+
+ORACLES = {
+    "events_funnel": _FUNNEL_SQL,
+    "events_cohort_retention": _COHORT_SQL,
+    "events_gapfill": _GAPFILL_SQL,
+    "scd2_order_priority": _SCD2_SQL,
+    "graph_triangles": _TRIANGLES_SQL,
+}

@@ -1,0 +1,124 @@
+"""Unit tests for the behavioral / time-series / graph query family
+on hand-computable fixtures, plus invariants at the smoke SF."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_funnel_strict_order(spark, monkeypatch):
+    # u1 completes the funnel in order; u2 clicks BEFORE its view
+    # (must not count as a click conversion); u3 views only.
+    rows = [
+        (1, _ts(1, 1), "view"),
+        (1, _ts(1, 2), "click"),
+        (1, _ts(1, 3), "purchase"),
+        (2, _ts(2, 1), "click"),
+        (2, _ts(2, 2), "view"),
+        (3, _ts(3, 1), "view"),
+        # u2's purchase without a post-view click: not counted
+        (2, _ts(2, 3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = behavioral.events_funnel(spark, "unused").collect()[0]
+    assert (out["n_view"], out["n_click"], out["n_purchase"]) == (3, 1, 1)
+    assert out["click_rate_e4"] == 10000 // 3
+    assert out["purchase_rate_e4"] == 10000
+
+
+def test_funnel_monotone_at_smoke(spark, sf_dir):
+    out = behavioral.events_funnel(spark, sf_dir).collect()[0]
+    assert out["n_view"] >= out["n_click"] >= out["n_purchase"] >= 0
+
+
+def test_cohort_offsets_non_negative(spark, sf_dir):
+    rows = behavioral.events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["n_users"] > 0
+    # offset-0 cell exists for every cohort (the first event itself)
+    cohorts = {r["cohort_week"] for r in rows}
+    zero = {r["cohort_week"] for r in rows if r["week_offset"] == 0}
+    assert cohorts == zero
+
+
+def test_gapfill_dense_grid(spark, monkeypatch):
+    rows = [
+        ("a", _ts(1)),
+        ("a", _ts(4)),  # days 2 and 3 missing for a
+        ("b", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = behavioral.events_gapfill(spark, "unused").collect()
+    got = {(r["event_type"], r["day"].day): r["n"] for r in out}
+    # complete 2-type x 4-day grid, zeros where absent
+    assert len(got) == 8
+    assert got[("a", 1)] == 1 and got[("a", 2)] == 0 and got[("a", 3)] == 0
+    assert got[("a", 4)] == 1
+    assert got[("b", 2)] == 1 and got[("b", 1)] == 0 and got[("b", 4)] == 0
+
+
+def test_scd2_intervals(spark, monkeypatch):
+    rows = [
+        (1, _ts(1), 101, "LOW"),
+        (1, _ts(5), 102, "HIGH"),   # change
+        (1, _ts(9), 103, "HIGH"),   # no change — collapsed
+        (1, _ts(12), 104, "LOW"),   # change back
+        (2, _ts(2), 201, "MED"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_orderkey long, o_orderpriority string"
+    )
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = sorted(
+        behavioral.scd2_order_priority(spark, "unused").collect(),
+        key=lambda r: (r["o_custkey"], r["valid_from"]),
+    )
+    assert [(r["o_custkey"], r["prio"], r["is_current"]) for r in out] == [
+        (1, "LOW", 0),
+        (1, "HIGH", 0),
+        (1, "LOW", 1),
+        (2, "MED", 1),
+    ]
+    # intervals chain: each valid_to equals the next valid_from
+    c1 = [r for r in out if r["o_custkey"] == 1]
+    for a, b in zip(c1, c1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert c1[-1]["valid_to"] is None
+
+
+def test_triangles_hand_graph(spark, monkeypatch):
+    # parts -> suppliers: p1 {1,2,3} forms a triangle; p2 {3,4} adds an
+    # edge; p3 {1,4} closes a second triangle {1,3,4}.
+    rows = []
+    for pk, sks in [(1, [1, 2, 3]), (2, [3, 4]), (3, [1, 4])]:
+        rows += [(pk, sk) for sk in sks]
+    df = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = behavioral.graph_triangles(spark, "unused").collect()[0]
+    assert out["n_nodes"] == 4
+    # edges: 12 13 23 34 14 -> 5
+    assert out["n_edges"] == 5
+    # triangles: {1,2,3} and {1,3,4}
+    assert out["n_triangles"] == 2
+
+
+def test_triangles_df_cap(spark, monkeypatch):
+    # a hub part above the cap contributes nothing
+    hub = [(99, sk) for sk in range(behavioral._TRI_PART_CAP + 1)]
+    small = [(1, 1), (1, 2)]
+    df = spark.createDataFrame(hub + small, "l_partkey long, l_suppkey long")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = behavioral.graph_triangles(spark, "unused").collect()[0]
+    assert out["n_edges"] == 1 and out["n_triangles"] == 0
