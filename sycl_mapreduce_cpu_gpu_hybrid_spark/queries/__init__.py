@@ -46,6 +46,9 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
 _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
     "events_funnel",
+    "events_transition_matrix",
+    "orders_rfm",
+    "basket_pairs",
     "events_cohort_retention",
     "events_gapfill",
     "scd2_order_priority",

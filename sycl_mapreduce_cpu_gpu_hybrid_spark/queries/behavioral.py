@@ -361,8 +361,186 @@ _TRIANGLES_SQL = f"""
 """
 
 
+# ------------------------------------------------------ transition matrix
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (the path-analysis primitive behind "what do users
+    do after X"). One window shuffle on user_id (lead over ts with
+    event_id tiebreak); the per-source row-probability is fixed-point
+    e4 via a second tiny aggregation keyed on the 5x5 type pairs."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000").cast("bigint").alias("n_e4"),
+    ).withColumn(
+        "p_e4", F.expr("n_e4 DIV sum(n) OVER (PARTITION BY from_type)")
+    ).drop("n_e4")
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_e4
+    FROM counts
+"""
+
+
+# ----------------------------------------------------------------- RFM
+
+
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer stats roll into ntile(5) buckets per dimension, and
+    the output is the segment-level rollup (bucket triple, customer
+    count, total cents). Monetary is exact integer cents
+    (round(price*100) — prices carry 2 decimals, so the rounded cents
+    are bit-identical on both engines; no float sums in the hash).
+    ntile ties break on custkey for determinism.
+
+    Scale note: the three ntile windows are global sorts — acceptable
+    because they run on the CUSTOMER aggregate (dimension-sized, ~1e7
+    rows at 100 TB facts), not the fact table; at larger dimensions
+    the cutoffs come from approx_percentile instead (same pattern as
+    agg_median_approx)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    rfm = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").cast("int").alias("rec_days"),
+        "freq",
+        "cents",
+    )
+    r_w = Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    bucketed = rfm.select(
+        "o_custkey",
+        "cents",
+        F.ntile(5).over(r_w).alias("r_bucket"),
+        F.ntile(5).over(f_w).alias("f_bucket"),
+        F.ntile(5).over(m_w).alias("m_bucket"),
+    )
+    return bucketed.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+_RFM_SQL = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT max(last_order) AS anchor FROM per_cust),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(datediff('day', last_order, anchor) AS INT) AS rec_days,
+               freq, cents
+        FROM per_cust CROSS JOIN anchor
+    ),
+    bucketed AS (
+        SELECT o_custkey, cents,
+               ntile(5) OVER (ORDER BY rec_days ASC, o_custkey) AS r_bucket,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_bucket,
+               ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_bucket
+        FROM rfm
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM bucketed GROUP BY 1, 2, 3
+"""
+
+
+# -------------------------------------------------------- market basket
+
+_BASKET_CAP = 8  # a basket with b items yields b*(b-1)/2 pairs — cap
+# mega-baskets exactly like hub parts in graph_triangles.
+_BASKET_MIN_SUPPORT = 2
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket support counts):
+    distinct (order, part) items, baskets above the pair-explosion cap
+    dropped, canonical p1 < p2 pairs counted, support >= 2 kept. The
+    self-join and the distinct are both keyed on l_orderkey, so AQE
+    plans one co-partitioned shuffle; pair counting shuffles the pair
+    keys only."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    keep = (
+        items.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("n_items") <= _BASKET_CAP)
+        .select("ok")
+    )
+    kept = items.join(keep, "ok", "left_semi")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+
+
+_BASKET_SQL = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    keep AS (
+        SELECT ok FROM items GROUP BY ok HAVING count(*) <= {_BASKET_CAP}
+    ),
+    kept AS (SELECT * FROM items WHERE ok IN (SELECT ok FROM keep))
+    SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+    FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+    HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_transition_matrix": events_transition_matrix,
+    "orders_rfm": orders_rfm,
+    "basket_pairs": basket_pairs,
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill": events_gapfill,
     "scd2_order_priority": scd2_order_priority,
@@ -371,6 +549,9 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_transition_matrix": _TRANSITION_SQL,
+    "orders_rfm": _RFM_SQL,
+    "basket_pairs": _BASKET_SQL,
     "events_cohort_retention": _COHORT_SQL,
     "events_gapfill": _GAPFILL_SQL,
     "scd2_order_priority": _SCD2_SQL,

@@ -114,6 +114,52 @@ def test_triangles_hand_graph(spark, monkeypatch):
     assert out["n_triangles"] == 2
 
 
+def test_transition_matrix_hand(spark, monkeypatch):
+    rows = [
+        (1, _ts(1, 1), 10, "view"),
+        (1, _ts(1, 2), 11, "click"),
+        (1, _ts(1, 3), 12, "view"),
+        (2, _ts(1, 1), 20, "view"),
+        (2, _ts(1, 2), 21, "click"),
+        (3, _ts(1, 1), 30, "error"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_e4"])
+        for r in behavioral.events_transition_matrix(spark, "unused").collect()
+    }
+    assert out == {
+        ("view", "click"): (2, 10000),
+        ("click", "view"): (1, 10000),
+    }
+
+
+def test_rfm_buckets_partition_customers(spark, sf_dir):
+    rows = behavioral.orders_rfm(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["r_bucket"] <= 5
+        assert 1 <= r["f_bucket"] <= 5
+        assert 1 <= r["m_bucket"] <= 5
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_basket_pairs_hand(spark, monkeypatch):
+    # two orders share the pair (1,2); pair (1,3) occurs once -> dropped
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 7)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    out = behavioral.basket_pairs(spark, "unused").collect()
+    assert [(r["p1"], r["p2"], r["support"]) for r in out] == [(1, 2, 2)]
+
+
 def test_triangles_df_cap(spark, monkeypatch):
     # a hub part above the cap contributes nothing
     hub = [(99, sk) for sk in range(behavioral._TRI_PART_CAP + 1)]
