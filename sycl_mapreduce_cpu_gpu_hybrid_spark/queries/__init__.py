@@ -46,6 +46,10 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
 _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
     "events_funnel",
+    "text_tfidf_topterms",
+    "agg_grouping_sets",
+    "pareto_revenue",
+    "events_histogram",
     "events_transition_matrix",
     "orders_rfm",
     "basket_pairs",

@@ -16,7 +16,7 @@ tests/test_similarity.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -1139,3 +1139,86 @@ def _kmeans_oracle() -> str:
 
 
 ORACLES["embedding_kmeans"] = _kmeans_oracle()
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms by TF-IDF, in EXACT
+    integer arithmetic: score = tf * idf_bits where idf_bits =
+    bits(n_docs) - bits(df) (the bin()-length floor-log2 used by
+    text_unigram_surprise — no float log). Terms are word bigrams
+    (same reasoning as text_inverted_index: the fixture's unigram
+    vocabulary is saturated), stop-bigrams above df 100 dropped by the
+    same cap. Plan: tf aggregates on (doc, term); the df/idf side is
+    term-keyed and joins back on term — two keyed shuffles, then a
+    per-doc top-k window. Ties break on term for determinism."""
+    from ..operators.dedup import normalize_text
+    from ..sources.tables import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
+    toks = F.split(normalize_text("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = d.select("doc_id", F.explode(bigrams).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        dfc.where(F.col("df") <= 100)
+        .join(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            (F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df"))))
+            .cast("bigint")
+            .alias("idf_bits"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf", "df", (F.col("tf") * F.col("idf_bits")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+QUERIES["text_tfidf_topterms"] = text_tfidf_topterms
+
+ORACLES["text_tfidf_topterms"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),
+                                           '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ), terms AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), dfc AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100
+    ), nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+               tf.tf * (length(bin(nd.n_docs)) - length(bin(dfc.df))) AS score
+        FROM tf JOIN dfc USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+"""

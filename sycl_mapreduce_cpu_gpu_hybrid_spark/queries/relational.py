@@ -1035,3 +1035,129 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["graph_pagerank"] = _pagerank_oracle()
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third member of the rollup/cube API
+    family, §2.3): revenue by (returnflag, linestatus), by returnflag
+    alone, and the grand total — but NOT by linestatus alone, which is
+    exactly what rollup/cube cannot express. grouping_id
+    disambiguates the null-vs-aggregated cells. Single shuffle: Spark
+    plans one Expand + one hash aggregate, same as rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+QUERIES["agg_grouping_sets"] = agg_grouping_sets
+
+ORACLES["agg_grouping_sets"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS INT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by exact revenue cents with
+    cumulative share (fixed-point e4) and an ABC class at the 80/95
+    cut — the concentration-curve primitive behind "which 20% of SKUs
+    carry 80% of revenue". The fact scan aggregates to part grain
+    first (keyed shuffle); the cumulative window then sorts only the
+    dimension-sized aggregate, same scale posture as orders_rfm's
+    ntile. Ordering ties break on p_key so the running sum is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("p_key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.join(F.broadcast(total)).select(
+        "p_key",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        "total_cents",
+    )
+    return ranked.select(
+        "p_key",
+        "cents",
+        F.expr("cum_cents * 10000 DIV total_cents").alias("cum_share_e4"),
+    ).withColumn(
+        "abc_class",
+        F.when(F.col("cum_share_e4") <= 8000, "A")
+        .when(F.col("cum_share_e4") <= 9500, "B")
+        .otherwise("C"),
+    )
+
+
+QUERIES["pareto_revenue"] = pareto_revenue
+
+ORACLES["pareto_revenue"] = """
+    WITH per_part AS (
+        SELECT l_partkey AS p_key,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT p_key, cents,
+               sum(cents) OVER (ORDER BY cents DESC, p_key
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               sum(cents) OVER () AS total_cents
+        FROM per_part
+    )
+    SELECT p_key, CAST(cents AS BIGINT) AS cents,
+           CAST(cum_cents * 10000 // total_cents AS BIGINT) AS cum_share_e4,
+           CASE WHEN cum_cents * 10000 // total_cents <= 8000 THEN 'A'
+                WHEN cum_cents * 10000 // total_cents <= 9500 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+"""
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: bucket =
+    floor(value / 50) — IEEE double division and floor are correctly
+    rounded on both engines, so the bucket index is deterministic
+    without fixed-point tricks. Map-side combine then one shuffle on
+    the (type, bucket) key; the bucket count is bounded by the value
+    domain, never by row count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+QUERIES["events_histogram"] = events_histogram
+
+ORACLES["events_histogram"] = """
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+"""
