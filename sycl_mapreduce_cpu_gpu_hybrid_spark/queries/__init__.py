@@ -46,6 +46,7 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
 _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
     "events_funnel",
+    "join_partition_pruned",
     "text_tfidf_topterms",
     "agg_grouping_sets",
     "pareto_revenue",

@@ -611,3 +611,66 @@ ORACLES = {
         FROM s GROUP BY doc_id, n
     """,
 }
+
+
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) on the gate: orders are laid
+    out hive-partitioned by month (80 dirs — the write is idempotent
+    per fixture fingerprint, same cache rule as the roundtrips), a
+    month dimension carries the quarter attribute, and the query joins
+    fact-to-dim with the selective filter ON THE DIM SIDE (quarter =
+    1). Catalyst cannot prune statically — which months are Q1 is only
+    known after reading the dim — so it plans a dynamicpruning
+    subquery that reuses the dim broadcast to skip ~3/4 of the fact
+    partitions at runtime (asserted plan-level in
+    tests/test_warehouse.py). At 100 TB this is the difference
+    between scanning 3 months and scanning 8 years. The oracle joins
+    the plain parquet: pruning must not change a row."""
+    from ..sources.warehouse import write_partitioned
+
+    fact_path = _roundtrip_cache_dir(sf_dir, "dpp_fact", "orders")
+    dim_path = _roundtrip_cache_dir(sf_dir, "dpp_dim", "orders")
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        write_partitioned(o, fact_path, ["month"])
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.expr(
+                    "CAST((month(o_orderdate) - 1) DIV 3 + 1 AS INT)"
+                ).alias("quarter"),
+            )
+            .distinct()
+        )
+        dim.write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("quarter") == 1)
+    return (
+        fact.join(dim, "month")
+        .groupBy("month", "quarter")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+QUERIES["join_partition_pruned"] = join_partition_pruned
+
+ORACLES["join_partition_pruned"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST((extract(month FROM o_orderdate) - 1) // 3 + 1 AS INT)
+               AS quarter,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE (extract(month FROM o_orderdate) - 1) // 3 + 1 = 1
+    GROUP BY 1, 2
+"""

@@ -65,3 +65,15 @@ def test_declared_bucketed_join_no_join_exchange(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in final
     assert final.count("Exchange") <= 1, final
+
+
+def test_declared_dpp_query_prunes_at_runtime(spark, sf_dir):
+    """The declared DPP query must carry a dynamicpruning expression in
+    its fact-scan partition filters — proof the quarter filter on the
+    dim side prunes fact partitions at runtime rather than scanning
+    all 80 months."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["join_partition_pruned"](spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
