@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",
+    "events_rolling_7d",
     "text_tfidf_topterms",
     "agg_grouping_sets",
     "pareto_revenue",

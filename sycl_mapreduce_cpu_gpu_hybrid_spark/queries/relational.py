@@ -1161,3 +1161,67 @@ ORACLES["events_histogram"] = """
            count(*) AS n
     FROM events GROUP BY 1, 2
 """
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate via a RANGE window frame (the
+    frame type window_frames_pack's ROWS frames don't cover): per
+    event type and day, the event count and exact cents over the
+    trailing week — RANGE over a day ordinal handles gap days
+    correctly where a ROWS frame would silently span them. The fact
+    scan aggregates to (type, day) grain first, so the window sorts
+    only the bounded daily grid; at 100 TB the frame cost is
+    O(days x types), independent of row count."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("day_cents"),
+    )
+    with_no = daily.withColumn(
+        "day_no",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return with_no.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("roll_n"),
+        F.sum("day_cents").over(w).cast("bigint").alias("roll_cents"),
+    )
+
+
+QUERIES["events_rolling_7d"] = events_rolling_7d
+
+ORACLES["events_rolling_7d"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    with_no AS (
+        SELECT *, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+                      AS day_no
+        FROM daily
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER (
+               PARTITION BY event_type ORDER BY day_no
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll_n,
+           CAST(sum(day_cents) OVER (
+               PARTITION BY event_type ORDER BY day_no
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll_cents
+    FROM with_no
+"""
