@@ -294,23 +294,41 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orient each edge low-degree → high-degree endpoint), bounding
     wedge fan-out by O(sqrt(m)); id order is kept here because the
     SQL oracle must count the identical set."""
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+    from ..sources.tables import fan_out
+
+    groups = (
+        fan_out(_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("l_suppkey"))).alias(
+                "sks"
+            )
+        )
+        .where(F.size("sks").between(2, _TRI_PART_CAP))
     )
-    keep = (
-        ps.groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n_s"))
-        .where(F.col("n_s") <= _TRI_PART_CAP)
-        .select("pk")
-    )
-    capped = ps.join(keep, "pk", "left_semi")
-    a, b = capped.alias("a"), capped.alias("b")
+    # part-local pair generation (one shuffle on the part key, no
+    # self-join — same rewrite as basket_pairs), then distinct; the
+    # edge set is localCheckpointed because five consumers (two wedge
+    # sides, the closure probe, node and edge counts) would otherwise
+    # recompute the whole generation pipeline each
     edges = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
-        .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(sks) - 1), i ->"
+                    " transform(slice(sks, i + 1, size(sks) - i), y ->"
+                    " struct(element_at(sks, i) AS s1, y AS s2))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
         .distinct()
+        # spread BEFORE checkpointing: the edge set is tiny in bytes
+        # but each edge fans out to many wedges, and AQE's small-input
+        # coalescing would otherwise run the whole wedge expansion in
+        # ONE task (measured 4.3s -> 1.9s at sf0.1)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(
@@ -500,22 +518,33 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join and the distinct are both keyed on l_orderkey, so AQE
     plans one co-partitioned shuffle; pair counting shuffles the pair
     keys only."""
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    from ..sources.tables import fan_out
+
+    baskets = (
+        fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(
+                "parts"
+            )
+        )
+        .where(F.size("parts").between(2, _BASKET_CAP))
     )
-    keep = (
-        items.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .where(F.col("n_items") <= _BASKET_CAP)
-        .select("ok")
+    # basket-local pair generation: one shuffle on the order key
+    # replaces distinct + cap-filter + self-join (which would compute
+    # the distinct item set twice and shuffle three times); the sorted
+    # distinct array makes p1 < p2 canonical by construction
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(parts) - 1), i ->"
+                " transform(slice(parts, i + 1, size(parts) - i), y ->"
+                " struct(element_at(parts, i) AS p1, y AS p2))))"
+            )
+        ).alias("pr")
     )
-    kept = items.join(keep, "ok", "left_semi")
-    a, b = kept.alias("a"), kept.alias("b")
     return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
