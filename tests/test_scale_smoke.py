@@ -133,3 +133,50 @@ def test_dedup_pipeline_sf1_smoke(spark):
         }
 
     assert clusters(survivors(big)) == clusters(survivors(docs))
+
+
+def _big_events(spark, sf_dir, replicas=8):
+    """Events replicated with remapped user_ids: per-user behavioral
+    structure is preserved per replica, so funnel stage counts and
+    transition counts must scale EXACTLY by the replication factor."""
+    ev = load_table(spark, sf_dir, "events")
+    n_users = 10_000_000  # disjoint user-id ranges per replica
+    return ev.crossJoin(
+        spark.range(replicas).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("event_id") + F.col("_rep") * 10_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_rep") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+    )
+
+
+def test_funnel_scales_exactly(spark, sf_dir, monkeypatch):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
+
+    base = behavioral.events_funnel(spark, sf_dir).collect()[0]
+    big = _big_events(spark, sf_dir)
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: big)
+    scaled = behavioral.events_funnel(spark, "unused").collect()[0]
+    for c in ("n_view", "n_click", "n_purchase"):
+        assert scaled[c] == base[c] * 8
+    # ratios are scale-invariant
+    assert scaled["click_rate_e4"] == base["click_rate_e4"]
+    assert scaled["purchase_rate_e4"] == base["purchase_rate_e4"]
+
+
+def test_transition_matrix_scales_exactly(spark, sf_dir, monkeypatch):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
+
+    base = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in behavioral.events_transition_matrix(spark, sf_dir).collect()
+    }
+    big = _big_events(spark, sf_dir)
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: big)
+    scaled = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in behavioral.events_transition_matrix(spark, "unused").collect()
+    }
+    assert scaled == {k: v * 8 for k, v in base.items()}
