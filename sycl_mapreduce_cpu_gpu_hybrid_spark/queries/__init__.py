@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "events_funnel",
     "join_partition_pruned",
     "events_rolling_7d",
+    "events_anomaly_mad",
     "text_tfidf_topterms",
     "agg_grouping_sets",
     "pareto_revenue",

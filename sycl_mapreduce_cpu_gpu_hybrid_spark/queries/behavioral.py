@@ -586,3 +586,72 @@ ORACLES = {
     "scd2_order_priority": _SCD2_SQL,
     "graph_triangles": _TRIANGLES_SQL,
 }
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) over exact integer cents, flagging values
+    beyond 3 MADs — the outlier rule that, unlike z-scores, a single
+    extreme value cannot poison. Exactness: percentile() on integers
+    interpolates two middle values whose average is exactly
+    representable (k or k.5), identical in both engines, so the
+    medians hash without fixed-point tricks. The two tiny per-type
+    aggregates broadcast back onto the scan (event-type cardinality is
+    bounded by the domain, not row count); at 100 TB the exact
+    percentile swaps for approx_percentile exactly as agg_median /
+    agg_median_approx document."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("abs_dev") > 3 * F.col("mad_cents")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+
+ORACLES["events_anomaly_mad"] = """
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        FROM e GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, med.med_cents,
+               abs(e.cents - med.med_cents) AS abs_dev
+        FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad_cents
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           min(dev.med_cents) AS med_cents,
+           min(mad.mad_cents) AS mad_cents,
+           count(*) AS n,
+           CAST(sum(CAST(dev.abs_dev > 3 * mad.mad_cents AS INT)) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+"""
