@@ -148,3 +148,28 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
 def test_merge_upsert_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "merge_upsert")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_funnel_single_input_shuffle(spark, sf_dir):
+    # the three stage-time windows share one user_id partitioning:
+    # exactly one Exchange feeds all three Window operators; the only
+    # other Exchanges are the per-user rollup and the final 1-row agg
+    plan = _plan(spark, sf_dir, "events_funnel")
+    assert plan.count("Window") >= 3
+    head = plan.split("Window", 1)[1]  # everything below the windows
+    assert head.count("Exchange") <= 1, plan
+
+
+def test_gapfill_span_is_broadcast(spark, sf_dir):
+    # the 1-row span must reach the grid via broadcast, never a
+    # row-proportional cross join
+    plan = _plan(spark, sf_dir, "events_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_transition_matrix_two_exchanges(spark, sf_dir):
+    # one shuffle for the user window, one for the 5x5 pair count;
+    # the p_e4 window re-uses the pair-count partitioning
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 3, final

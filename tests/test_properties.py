@@ -108,3 +108,64 @@ def test_minhash_estimates_jaccard(spark):
     rows = minhash_lsh_pairs(docs, k=k, num_hashes=64, bands=16, threshold=0.0).collect()
     assert len(rows) == 1
     assert abs(rows[0]["est_jaccard"] - exact) < 0.15
+
+
+# --- behavioral family: funnel vs a pure-python reference ------------------
+
+_EVENT_TYPES = ["view", "click", "purchase", "error"]
+
+
+def _python_funnel(rows):
+    """Reference implementation of the strict-order funnel over
+    (user, ts, type) triples — mirrors queries/behavioral.events_funnel."""
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        n_view += 1
+        t2 = min((t for t, ty in evs if ty == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n_click += 1
+        t3 = min(
+            (t for t, ty in evs if ty == "purchase" and t > t2), default=None
+        )
+        if t3 is not None:
+            n_purchase += 1
+    return n_view, n_click, n_purchase
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),          # few users -> dense per-user paths
+            st.integers(0, 20),         # coarse ts -> deliberate ties
+            st.sampled_from(_EVENT_TYPES),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_funnel_matches_python_reference(spark, rows):
+    import datetime as dt
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(hours=t), ty) for u, t, ty in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    orig = behavioral.load_table
+    behavioral.load_table = lambda s, d, n: df
+    try:
+        out = behavioral.events_funnel(spark, "unused").collect()[0]
+    finally:
+        behavioral.load_table = orig
+    want = _python_funnel(rows)
+    assert (out["n_view"], out["n_click"], out["n_purchase"]) == want
