@@ -49,6 +49,7 @@ _GATE_PRIORITY = [
     "join_partition_pruned",
     "events_rolling_7d",
     "events_anomaly_mad",
+    "agg_quantile_bands",
     "text_tfidf_topterms",
     "agg_grouping_sets",
     "pareto_revenue",

@@ -1225,3 +1225,59 @@ ORACLES["events_rolling_7d"] = """
                AS roll_cents
     FROM with_no
 """
+
+
+def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 bands of order value per status via
+    rank selection: the value at ordinal position ceil(q*n) in the
+    sorted group — pure integers end to end (no interpolation, so no
+    float-rounding divergence between engines; the value at a rank
+    depends only on the multiset, not the tiebreak). One window
+    shuffle sorts each group; at 100 TB the exact bands swap for
+    approx_percentile exactly as agg_median / agg_median_approx
+    document — this is the exact twin for the multi-band shape."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    def pick(num: int, den: int, alias: str):
+        # ceil(num*n/den) via integer arithmetic
+        pos = F.expr(f"(n * {num} + {den} - 1) DIV {den}")
+        return F.max(F.when(F.col("rn") == pos, F.col("cents"))).alias(alias)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        pick(1, 2, "p50_cents"),
+        pick(9, 10, "p90_cents"),
+        pick(99, 100, "p99_cents"),
+    )
+
+
+QUERIES["agg_quantile_bands"] = agg_quantile_bands
+
+ORACLES["agg_quantile_bands"] = """
+    WITH ranked AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_cents,
+           max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+    FROM ranked GROUP BY 1
+"""
