@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",
+    "join_runtime_filtered",
     "events_rolling_7d",
     "events_anomaly_mad",
     "agg_quantile_bands",

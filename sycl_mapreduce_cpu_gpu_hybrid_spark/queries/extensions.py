@@ -674,3 +674,62 @@ ORACLES["join_partition_pruned"] = """
     WHERE (extract(month FROM o_orderdate) - 1) // 3 + 1 = 1
     GROUP BY 1, 2
 """
+
+
+def join_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (the shuffle-join sibling of
+    join_partition_pruned's DPP): the selective dim-side predicate
+    (urgent orders) builds a bloom_filter_agg whose might_contain
+    probe is injected into the FACT scan's filters, so non-matching
+    lineitem rows die before the shuffle instead of after it. On a
+    100 TB fact table this is the difference between shuffling the
+    full scan and shuffling the ~1/5 that can match. Spark's rule
+    self-arms only when the application side exceeds its scan-size
+    threshold (default 10GB — i.e. exactly the at-scale regime); the
+    query pins that threshold to 0 while BUILDING this plan so toy
+    fixtures exercise the same plan shape, then restores the session
+    confs (the physical plan is materialized eagerly before restore,
+    and the driver's later collect() reuses the same QueryExecution).
+    Plan-asserted in tests/test_plans.py; the oracle is the plain
+    join — the filter is pass-through-correct by construction."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+        # materialize the physical plan under the pinned confs; the
+        # returned DataFrame keeps this QueryExecution
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+QUERIES["join_runtime_filtered"] = join_runtime_filtered
+
+ORACLES["join_runtime_filtered"] = """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+"""

@@ -173,3 +173,11 @@ def test_transition_matrix_two_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_transition_matrix")
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") <= 3, final
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    # the dim-side bloom filter must probe the fact side before the
+    # shuffle: might_contain over the join key appears in the plan
+    plan = _plan(spark, sf_dir, "join_runtime_filtered")
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
