@@ -44,17 +44,30 @@ def pagerank_fixedpoint(
     union of srcs and dsts; with an undirected edge set every node
     has out-degree >= 1, so no dangling-mass redistribution is needed
     (documented limitation for directed inputs)."""
-    nodes = (
-        edges.select(F.col("src").alias("node_id"))
-        .union(edges.select(F.col("dst").alias("node_id")))
-        .distinct()
+    # Materialize the (src, dst, deg) edge relation ONCE: callers pass
+    # edges as an arbitrary lineage (here a join+distinct over the fact
+    # table), and every iteration consumes it twice (contribution join
+    # + the deg lookup) — without the checkpoint the whole derivation
+    # re-executes per round (measured 3.8s -> ~1.6s at sf0.1 for the
+    # declared 3-iteration query). localCheckpoint rather than persist
+    # so the truncated lineage also keeps the per-round plan flat.
+    ed = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+        )
+        .select("src", "dst", "deg")
+        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        ed.select(F.col("src").alias("node_id"))
+        .union(ed.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
     ranks = nodes.select("node_id", F.lit(RANK_SCALE).cast("bigint").alias("rank"))
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, F.col("src") == F.col("node_id"))
+            ed.join(ranks, F.col("src") == F.col("node_id"))
             .select("dst", F.expr("rank DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("flow"))
