@@ -34,9 +34,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import behavioral, extensions, kmerq, llm, relational, scalars
+from . import behavioral, extensions, kmerq, llm, relational, scalars, tpch
 
-_MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
+_MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 
 
 # Queries with the thinnest driver evidence go FIRST in declaration
@@ -44,6 +44,15 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
+    # round-6 session-3 additions — zero driver evidence yet
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "orders_yoy_growth",
+    "join_exists_correlated",
+    "events_rolling_distinct",
+    "text_chunk_sliding",
+    "corpus_pack_tokens",
+    "corpus_temperature_weights",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

@@ -1222,3 +1222,165 @@ ORACLES["text_tfidf_topterms"] = r"""
     )
     WHERE rank <= 5
 """
+
+
+# --- chunking / packing / language balancing (training-data prep) ----------
+#
+# Additive to the reference (its pipeline ends at k-mer counts): the
+# three steps between a curated corpus and a training batch stream —
+# sliding-window chunking, token-budget sequence packing, and
+# temperature-based language re-balancing. All three are pure JVM
+# expression plans (no Python row path) with exact-arithmetic outputs.
+
+_CHUNK_W = 200  # chunk width (chars)
+_CHUNK_S = 160  # stride — 40-char overlap between adjacent chunks
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split every document into overlapping
+    W=200-char windows at stride S=160 (the RAG/pretraining chunk
+    shape). One chunk starts at every multiple of S inside the text,
+    so a doc of n chars yields 1 + (n-1) DIV S chunks; the final
+    chunk is naturally short. Narrow transform only — explode +
+    substring, no shuffle at all; chunk identity is the md5 of its
+    bytes so the driver hash covers the exact chunk content."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST((greatest(length(text), 1) - 1)"
+                    f" DIV {_CHUNK_S} AS INT))"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_ix"),
+            F.expr(f"substring(text, i * {_CHUNK_S} + 1, {_CHUNK_W})").alias(
+                "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_ix",
+            F.length("chunk").cast("int").alias("chunk_chars"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+QUERIES["text_chunk_sliding"] = text_chunk_sliding
+ORACLES["text_chunk_sliding"] = f"""
+    SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+           CAST(length(substring(text, CAST(i AS INT) * {_CHUNK_S} + 1,
+                                 {_CHUNK_W})) AS INT) AS chunk_chars,
+           md5(substring(text, CAST(i AS INT) * {_CHUNK_S} + 1, {_CHUNK_W}))
+               AS chunk_md5
+    FROM documents,
+         unnest(generate_series(0, (greatest(length(text), 1) - 1) // {_CHUNK_S}))
+             AS u(i)
+"""
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def corpus_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: stream each language's documents
+    in doc_id order into contiguous 2048-token training sequences; a
+    document belongs to the sequence its FIRST token lands in
+    (start-offset binning — the deterministic, shuffle-free twin of
+    greedy first-fit packing). The cumulative sum is a window
+    partitioned BY LANGUAGE, so the sort is per-partition, not global;
+    at 100 TB the partition key widens to (lang, shard) with
+    per-shard budgets — the binning arithmetic is unchanged. Output is
+    per-sequence occupancy: how many docs and tokens each packed
+    sequence holds (the padding-waste signal a packing job reports)."""
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "lang", "doc_id", whitespace_token_count("text").alias("tok")
+    )
+    return (
+        toks.withColumn("cum", F.sum("tok").over(w))
+        .select(
+            "lang",
+            F.expr(f"CAST((cum - tok) DIV {_PACK_BUDGET} AS BIGINT)").alias(
+                "seq_bin"
+            ),
+            "tok",
+        )
+        .groupBy("lang", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+QUERIES["corpus_pack_tokens"] = corpus_pack_tokens
+ORACLES["corpus_pack_tokens"] = rf"""
+    WITH tk AS (
+        SELECT lang, doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents
+    ), cs AS (
+        SELECT lang, tok,
+               sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM tk
+    )
+    SELECT lang, CAST((cum - tok) // {_PACK_BUDGET} AS BIGINT) AS seq_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS sum_tokens
+    FROM cs GROUP BY 1, 2
+"""
+
+
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language re-balancing (the multilingual
+    sampling scheme: weight each language by n^tau, tau=0.5, so
+    low-resource languages are up-sampled relative to their share).
+    sqrt is IEEE-754 correctly rounded on both engines and the weight
+    is floored to e6 fixed-point BEFORE normalization, so the shares
+    are exact integer arithmetic end-to-end. The normalizing total is
+    a broadcast 1-row aggregate, not a global window."""
+    d = _docs(spark, sf_dir)
+    g = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w_e6",
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    tot = g.agg(F.sum("w_e6").alias("_tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "w_e6",
+        F.expr("(w_e6 * 1000000) DIV _tot").cast("bigint").alias("share_e6"),
+    )
+
+
+QUERIES["corpus_temperature_weights"] = corpus_temperature_weights
+ORACLES["corpus_temperature_weights"] = """
+    WITH g AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w_e6
+        FROM documents GROUP BY lang
+    ), t AS (SELECT sum(w_e6) AS tot FROM g)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, w_e6,
+           CAST((w_e6 * 1000000) // tot AS BIGINT) AS share_e6
+    FROM g CROSS JOIN t
+"""

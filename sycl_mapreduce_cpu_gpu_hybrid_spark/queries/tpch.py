@@ -1,0 +1,295 @@
+"""Classic warehouse analytics suite: TPC-H-shaped multi-join
+aggregates plus the analytic idioms a BI workload layers on top
+(year-over-year growth, correlated EXISTS, rolling distinct users).
+
+These extend the reference's single-table k-mer reductions
+(src/main.cpp:55-73) to the multi-table decision-support shapes its
+data model implies — the join-reordering / broadcast-selection /
+partial-aggregation surface Catalyst owns.
+
+Money arithmetic convention: the fixture's 2-decimal prices and
+discounts convert EXACTLY to integer cents / e4 fractions
+(``CAST(round(x * 100) AS BIGINT)`` — the *100 product of a 2-decimal
+double is within 1e-9 of an integer, so round() is tie-free on both
+engines). All revenue sums are then pure BIGINT arithmetic: identical
+to the last bit regardless of accumulation order, which keeps top-k
+cutoffs and growth ratios driver-hash-safe where double sums would
+risk last-bit reorderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_REV_E6 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
+)
+_REV_E6_SQL = _REV_E6  # identical text is valid in both dialects
+
+
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one market segment. Three-table join where Catalyst
+    picks the order and AQE the strategy; the final top-k is
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Revenue is exact integer e6 fixed-point, so the top-10 cutoff is
+    deterministic across engines — a double sum could flip near-equal
+    ranks 10 and 11 by accumulation order."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .select("l_orderkey", F.expr(_REV_E6).alias("rev"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev").alias("revenue_e6"))
+        .orderBy(F.desc("revenue_e6"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue_e6")
+    )
+
+
+QUERIES["tpch_q3_priority"] = tpch_q3_priority
+ORACLES["tpch_q3_priority"] = f"""
+    SELECT l_orderkey, o_orderdate, CAST(sum({_REV_E6_SQL}) AS BIGINT) AS revenue_e6
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e6 DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table join —
+    region-filtered nations broadcast (5 rows), customer and supplier
+    both pinned to the same nation (the theta condition that makes Q5
+    interesting), fact-side joins shuffled on their keys. Per-nation
+    exact integer revenue."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV_E6).alias("rev")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue_e6"))
+    )
+
+
+QUERIES["tpch_q5_region_volume"] = tpch_q5_region_volume
+ORACLES["tpch_q5_region_volume"] = f"""
+    SELECT n_name, CAST(sum({_REV_E6_SQL}) AS BIGINT) AS revenue_e6
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: grouped integer-cents
+    revenue, then lag() over (nation ORDER BY year) and an exact e4
+    fixed-point growth ratio (both engines truncate integer division
+    toward zero — verified for negatives by embedding_kmeans). The
+    window runs on the |nations|x|years| aggregate, never the fact
+    table: the 100 TB shape is agg-then-window, not window-then-agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        g.withColumn("prev", F.lag("rev_cents").over(w))
+        .select(
+            "n_name",
+            F.col("yr").cast("int").alias("yr"),
+            "rev_cents",
+            F.expr(
+                "CASE WHEN prev IS NULL OR prev = 0 THEN NULL"
+                " ELSE ((rev_cents - prev) * 10000) DIV prev END"
+            ).cast("bigint").alias("growth_e4"),
+        )
+    )
+
+
+QUERIES["orders_yoy_growth"] = orders_yoy_growth
+ORACLES["orders_yoy_growth"] = """
+    WITH g AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), lg AS (
+        SELECT n_name, yr, rev_cents,
+               lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+        FROM g
+    )
+    SELECT n_name, yr, rev_cents,
+           CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                ELSE ((rev_cents - prev) * 10000) // prev END AS BIGINT)
+               AS growth_e4
+    FROM lg
+"""
+
+
+def join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS subqueries (the decorrelation
+    surface): customers holding at least one >400k order and zero
+    pending-status orders. Catalyst decorrelates to a left-semi plus a
+    left-anti hash join — no per-row subquery execution at any scale;
+    the plan is pinned in tests/test_tpch.py."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ec")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ec")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ec c
+        WHERE EXISTS (
+                SELECT 1 FROM orders_ec o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders_ec o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+              )
+        """
+    )
+
+
+QUERIES["join_exists_correlated"] = join_exists_correlated
+ORACLES["join_exists_correlated"] = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+          )
+"""
+
+
+_ROLL_BASE = "2024-01-01"  # events fixture spans Jan 2024
+
+
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT user count per active day — the window
+    aggregate SQL expresses as ``count(DISTINCT ...) OVER (RANGE 6
+    PRECEDING)`` but Spark's window operator cannot evaluate (no
+    DISTINCT in window aggregates), and the naive collect_set rewrite
+    is a single-task global window. Distributed rewrite: a user's
+    presence in window g is attributed to their EARLIEST active day in
+    [g-6, g] — pair (u, d) counts toward g iff g ∈ [d, d+6] and the
+    user's previous active day < g-6. So: dedup to (user, day) pairs
+    (the only full-data shuffle), per-USER lag (partitioned window,
+    no global sort), a bounded 7x explode, and a group-count by day,
+    then a semi join back to active days. Every stage is key-partitioned
+    — this survives 100 TB where the single-partition window cannot."""
+    e = _t(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit(_ROLL_BASE)).alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    contrib = (
+        du.withColumn("prev", F.lag("d").over(w))
+        .select(
+            "prev",
+            F.explode(F.expr("sequence(d, d + 6)")).alias("g"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") < F.col("g") - 6))
+    )
+    active = du.select(F.col("d").alias("g")).distinct()
+    return (
+        contrib.join(active, "g", "left_semi")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("u7"))
+        .select(F.col("g").cast("int").alias("day_ord"), "u7")
+    )
+
+
+QUERIES["events_rolling_distinct"] = events_rolling_distinct
+ORACLES["events_rolling_distinct"] = f"""
+    WITH du AS (
+        SELECT DISTINCT datediff('day', DATE '{_ROLL_BASE}', CAST(ts AS DATE)) AS d,
+               user_id
+        FROM events
+    )
+    SELECT DISTINCT CAST(d AS INT) AS day_ord,
+           CAST(count(DISTINCT user_id) OVER (
+               ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS u7
+    FROM du
+"""

@@ -1,0 +1,143 @@
+"""Plan pins + properties for the classic-warehouse suite
+(queries/tpch.py) and the chunk/pack/balance trio (queries/llm.py):
+the DuckDB value parity lives in tests/parity.py; these assert the
+PLAN shapes (decorrelation, top-k) and the algebraic invariants the
+hash can't see."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import (
+    _CHUNK_S,
+    _CHUNK_W,
+    corpus_pack_tokens,
+    corpus_temperature_weights,
+    text_chunk_sliding,
+)
+from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.tpch import (
+    events_rolling_distinct,
+    join_exists_correlated,
+    orders_yoy_growth,
+    tpch_q3_priority,
+)
+from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_correlated_decorrelates_to_semi_anti(spark, sf_dir):
+    """EXISTS / NOT EXISTS must become hash semi/anti joins — never a
+    per-row subquery: that's the plan that scales."""
+    plan = _plan(join_exists_correlated(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q3_topk_never_global_sorts(spark, sf_dir):
+    plan = _plan(tpch_q3_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_yoy_growth_null_exactly_on_first_year(spark, sf_dir):
+    rows = orders_yoy_growth(spark, sf_dir).collect()
+    first_year = {}
+    for r in rows:
+        first_year[r.n_name] = min(first_year.get(r.n_name, r.yr), r.yr)
+    for r in rows:
+        assert (r.growth_e4 is None) == (r.yr == first_year[r.n_name]), r
+
+
+def test_rolling_distinct_matches_bruteforce(spark, sf_dir):
+    """The distributed earliest-day-attribution rewrite must equal the
+    naive per-day set-union over the trailing 7 days."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = {
+        (r.d, r.user_id)
+        for r in e.select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+            "user_id",
+        ).distinct().collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    expect = {
+        g: len({u for d, u in pairs if g - 6 <= d <= g}) for g in days
+    }
+    got = {
+        r.day_ord: r.u7 for r in events_rolling_distinct(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_chunk_sliding_reconstructs_documents(spark, sf_dir):
+    """Chunk count, coverage, and md5 identity vs a direct Python
+    re-derivation for every doc in the smoke fixture."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {}
+    for r in text_chunk_sliding(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_ix] = (r.chunk_chars, r.chunk_md5)
+    for doc_id, text in docs.items():
+        n = max(len(text), 1)
+        n_chunks = 1 + (n - 1) // _CHUNK_S
+        chunks = got[doc_id]
+        assert len(chunks) == n_chunks
+        for i in range(n_chunks):
+            piece = text[i * _CHUNK_S : i * _CHUNK_S + _CHUNK_W]
+            md5 = hashlib.md5(piece.encode()).hexdigest()
+            assert chunks[i] == (len(piece), md5), (doc_id, i)
+        # stride < width -> every char is covered by some chunk
+        assert (n_chunks - 1) * _CHUNK_S + _CHUNK_W >= len(text)
+
+
+def test_pack_tokens_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing must move every doc and every token into exactly one
+    sequence bin, and bin 0 must exist per language (first doc's first
+    token lands at offset 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.lang: (r.nd, r.tk)
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(
+                F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                )
+            ).alias("tk"),
+        )
+        .collect()
+    }
+    packed = corpus_pack_tokens(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in packed:
+        nd, tk, bins = by_lang.setdefault(r.lang, [0, 0, set()])
+        by_lang[r.lang] = [nd + r.n_docs, tk + r.sum_tokens, bins | {r.seq_bin}]
+    for lang, (nd, tk) in totals.items():
+        assert by_lang[lang][0] == nd
+        assert by_lang[lang][1] == tk
+        assert 0 in by_lang[lang][2]
+
+
+def test_temperature_weights_compress_ratios(spark, sf_dir):
+    """tau=0.5 must compress the language imbalance: the head/tail
+    share ratio is strictly smaller than the raw count ratio, weights
+    are monotone in counts, and floored shares sum to <= 1e6 with
+    bounded loss."""
+    rows = corpus_temperature_weights(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.n_docs)
+    for a, b in zip(rows, rows[1:]):
+        assert a.w_e6 <= b.w_e6
+    lo, hi = rows[0], rows[-1]
+    if lo.n_docs < hi.n_docs:
+        assert hi.share_e6 / lo.share_e6 < hi.n_docs / lo.n_docs
+    total_share = sum(r.share_e6 for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
