@@ -53,6 +53,9 @@ _GATE_PRIORITY = [
     "text_chunk_sliding",
     "corpus_pack_tokens",
     "corpus_temperature_weights",
+    "dedup_incremental",
+    "text_bigram_lm",
+    "source_binaryfile_roundtrip",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

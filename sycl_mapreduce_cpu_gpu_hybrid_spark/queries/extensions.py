@@ -733,3 +733,56 @@ ORACLES["join_runtime_filtered"] = """
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY 1
 """
+
+
+_BINFILE_DOCS = 400  # files written once per fixture fingerprint
+
+
+def source_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source on the gate — Spark's built-in reader for
+    opaque media/blob corpora (the ingest path for the multimodal
+    family, which otherwise synthesizes payloads in-plan): the first
+    400 documents written once as one UTF-8 text file each under a
+    doc_id=N partition dir, read back as raw bytes, identity-checked
+    byte-for-byte. The text sink appends one newline per record, so
+    the oracle hashes text || chr(10) and counts octet_length + 1 —
+    octet (UTF-8 byte) length, not char length: the zh documents make
+    the difference real. Emits (doc_id parsed from the partition path,
+    byte count, md5 of the bytes)."""
+    path = _roundtrip_cache_dir(sf_dir, "binfile", "documents")
+    if not os.path.exists(os.path.join(path, "_done")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < _BINFILE_DOCS)
+            .select("doc_id", F.col("text").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("doc_id")
+            .text(path)
+        )
+        # the text sink's _SUCCESS lands in the root; mark explicitly so
+        # a partially-written tree is never read
+        with open(os.path.join(path, "_done"), "w") as fh:
+            fh.write("ok")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+QUERIES["source_binaryfile_roundtrip"] = source_binaryfile_roundtrip
+ORACLES["source_binaryfile_roundtrip"] = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents
+    WHERE doc_id < {_BINFILE_DOCS}
+"""

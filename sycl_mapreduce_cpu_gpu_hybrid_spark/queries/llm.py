@@ -1384,3 +1384,121 @@ ORACLES["corpus_temperature_weights"] = """
            CAST((w_e6 * 1000000) // tot AS BIGINT) AS share_e6
     FROM g CROSS JOIN t
 """
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the daily-batch shape: dedup a NEW
+    batch of documents (doc_id % 5 == 0, the deterministic stand-in
+    for today's arrivals) against the already-ingested HISTORY
+    (everything else) without ever re-shuffling history's text. Two
+    stages, both keyed on the fixed-width content hash: (1) pick the
+    min-id canonical per hash WITHIN the batch (window on the batch
+    only), (2) anti-join the canonicals against history's distinct
+    hash set — at 100 TB that's a join of today's batch against a
+    hash-only index (16 bytes/doc), not a re-scan of the corpus. The
+    normalization is exact_dedup's (operators/dedup.py:31), so
+    survivors here are exactly the batch docs exact_dedup would have
+    kept had history been deduped first."""
+    from ..operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.md5(normalize_text("text")).alias("content_hash")
+    )
+    hist = d.where(F.col("doc_id") % 5 != 0).select("content_hash").distinct()
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    canon = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return canon.join(hist, "content_hash", "left_anti").select(
+        "doc_id", "lang", "content_hash"
+    )
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = r"""
+    WITH k AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT content_hash FROM k WHERE doc_id % 5 != 0),
+    canon AS (
+        SELECT doc_id, lang, content_hash,
+               row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM k WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, lang, content_hash
+    FROM canon
+    WHERE rn = 1
+      AND content_hash NOT IN (SELECT content_hash FROM hist)
+"""
+
+_LM_MIN_CONTEXT = 50  # min bigram observations before a context is emitted
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model head: for every context word with >= 50
+    observed continuations, the argmax next word and its exact e4
+    conditional probability — the corpus-statistics kernel under
+    next-token-prediction data analysis. Counts shuffle once on
+    (w1, w2); the per-context total and argmax are a window over the
+    COUNTS frame (vocab-sized, not corpus-sized). Ties break
+    lexicographically so the argmax is deterministic on both engines."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.split(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+        ).alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("w1")
+    wr = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        c.withColumn("n", F.sum("c").over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .where((F.col("rn") == 1) & (F.col("n") >= _LM_MIN_CONTEXT))
+        .select(
+            "w1",
+            F.col("w2").alias("next_word"),
+            F.col("c").cast("bigint").alias("c"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(c * 10000) DIV n").cast("bigint").alias("p_e4"),
+        )
+    )
+
+
+QUERIES["text_bigram_lm"] = text_bigram_lm
+ORACLES["text_bigram_lm"] = rf"""
+    WITH toks AS (
+        SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), c AS (
+        SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), ranked AS (
+        SELECT w1, w2, c,
+               sum(c) OVER (PARTITION BY w1) AS n,
+               row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM c
+    )
+    SELECT w1, w2 AS next_word, CAST(c AS BIGINT) AS c, CAST(n AS BIGINT) AS n,
+           CAST((c * 10000) // n AS BIGINT) AS p_e4
+    FROM ranked
+    WHERE rn = 1 AND n >= {_LM_MIN_CONTEXT}
+"""

@@ -141,3 +141,63 @@ def test_temperature_weights_compress_ratios(spark, sf_dir):
         assert hi.share_e6 / lo.share_e6 < hi.n_docs / lo.n_docs
     total_share = sum(r.share_e6 for r in rows)
     assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+
+
+def test_dedup_incremental_equals_global_dedup_restricted(spark, sf_dir):
+    """A batch survivor is exactly a batch doc that is the min-id
+    holder of its hash among (batch ∪ history-hash-coverage): recompute
+    the expected set in Python from raw normalized hashes."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    norm = lambda t: hashlib.md5(  # noqa: E731
+        re.sub(r"\s+", " ", t.strip().lower()).encode()
+    ).hexdigest()
+    hist_hashes = {norm(r.text) for r in docs if r.doc_id % 5 != 0}
+    batch = sorted(
+        ((r.doc_id, norm(r.text)) for r in docs if r.doc_id % 5 == 0)
+    )
+    seen: set = set()
+    expect = set()
+    for doc_id, h in batch:
+        if h not in hist_hashes and h not in seen:
+            expect.add(doc_id)
+        seen.add(h)
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import dedup_incremental
+
+    got = {r.doc_id for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_bigram_lm_probabilities_well_formed(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import (
+        _LM_MIN_CONTEXT,
+        text_bigram_lm,
+    )
+
+    rows = text_bigram_lm(spark, sf_dir).collect()
+    assert rows, "fixture corpus must yield at least one context"
+    for r in rows:
+        assert 1 <= r.c <= r.n
+        assert r.n >= _LM_MIN_CONTEXT
+        assert r.p_e4 == r.c * 10000 // r.n
+    assert len({r.w1 for r in rows}) == len(rows)  # one argmax per context
+
+
+def test_binaryfile_roundtrip_is_byte_identical(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.extensions import (
+        source_binaryfile_roundtrip,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .collect()
+    }
+    got = {r.doc_id: (r.n_bytes, r.content_md5) for r in
+           source_binaryfile_roundtrip(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode() + b"\n"
+        assert got[doc_id] == (len(raw), hashlib.md5(raw).hexdigest()), doc_id
