@@ -56,6 +56,8 @@ _GATE_PRIORITY = [
     "dedup_incremental",
     "text_bigram_lm",
     "source_binaryfile_roundtrip",
+    "embedding_norm_stats",
+    "events_attribution",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

@@ -655,3 +655,66 @@ ORACLES["events_anomaly_mad"] = """
     FROM dev JOIN mad USING (event_type)
     GROUP BY 1
 """
+
+
+# ------------------------------------------------------- attribution
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent click at-or-before it — the event-to-event
+    as-of join (operators/asof.py union+window plan: ONE shuffle on
+    user_id, running-value state per key, never the |purchases| x
+    |clicks| inequality explosion). Emits exact integer microsecond
+    epochs and the attribution gap; purchases with no preceding click
+    keep NULLs (first-touch-less traffic, a real segment). Only the
+    click TIMESTAMP is emitted, so the result is deterministic even if
+    two clicks ever tie on ts."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        direction="backward",
+    )
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    # (session.py), so the cast to instant-typed TIMESTAMP is the
+    # identity mapping epoch_us(naive) — matching DuckDB's epoch_us.
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c_us = F.unix_micros(F.col("click_ts_asof").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        p_us.alias("purchase_us"),
+        c_us.alias("click_us"),
+        (p_us - c_us).alias("gap_us"),
+    )
+
+
+QUERIES["events_attribution"] = events_attribution
+ORACLES["events_attribution"] = """
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST((SELECT epoch_us(max(c.ts)) FROM events c
+                 WHERE c.event_type = 'click'
+                   AND c.user_id = p.user_id
+                   AND c.ts <= p.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.ts) AS BIGINT)
+               - CAST((SELECT epoch_us(max(c.ts)) FROM events c
+                       WHERE c.event_type = 'click'
+                         AND c.user_id = p.user_id
+                         AND c.ts <= p.ts) AS BIGINT) AS gap_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+"""

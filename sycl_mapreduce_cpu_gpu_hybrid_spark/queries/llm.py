@@ -1502,3 +1502,53 @@ ORACLES["text_bigram_lm"] = rf"""
     FROM ranked
     WHERE rn = 1 AND n >= {_LM_MIN_CONTEXT}
 """
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile — the sanity screen an
+    embedding pipeline runs before indexing (collapsed vectors, scale
+    drift between labels). All arithmetic is exact: each float32
+    element is floored to an e6 integer, squared and summed
+    SEQUENTIALLY inside its own array (single-vector fold — no
+    cross-row float accumulation anywhere), and the per-label average
+    is integer division. Higher-order array functions only; the
+    vectors never leave the JVM and the only shuffle is the final
+    label agg."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2_e12"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("norm2_e12").alias("min_norm2_e12"),
+        F.max("norm2_e12").alias("max_norm2_e12"),
+        F.expr("sum(norm2_e12) DIV count(1)").cast("bigint").alias(
+            "avg_norm2_e12"
+        ),
+    )
+
+
+QUERIES["embedding_norm_stats"] = embedding_norm_stats
+ORACLES["embedding_norm_stats"] = """
+    WITH n AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                         * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                    AS BIGINT) AS norm2_e12
+        FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           min(norm2_e12) AS min_norm2_e12,
+           max(norm2_e12) AS max_norm2_e12,
+           CAST(sum(norm2_e12) // count(*) AS BIGINT) AS avg_norm2_e12
+    FROM n GROUP BY label
+"""

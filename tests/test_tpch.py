@@ -201,3 +201,55 @@ def test_binaryfile_roundtrip_is_byte_identical(spark, sf_dir):
     for doc_id, text in docs.items():
         raw = text.encode() + b"\n"
         assert got[doc_id] == (len(raw), hashlib.md5(raw).hexdigest()), doc_id
+
+
+def test_attribution_matches_bruteforce(spark, sf_dir):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.behavioral import (
+        events_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    clicks: dict = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append(r.ts)
+    got = {r.event_id: r.click_us for r in events_attribution(spark, sf_dir).collect()}
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    us = lambda t: (t - epoch) // datetime.timedelta(microseconds=1)  # noqa: E731
+    n_purchases = 0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        n_purchases += 1
+        prior = [t for t in clicks.get(r.user_id, []) if t <= r.ts]
+        expect = us(max(prior)) if prior else None
+        assert got[r.event_id] == expect, r.event_id
+    assert len(got) == n_purchases
+
+
+def test_embedding_norm_stats_fixed_point_exact(spark, sf_dir):
+    import math
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import (
+        embedding_norm_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    norms: dict = {}
+    for r in emb:
+        n2 = sum(
+            int(math.floor(float(x) * 1_000_000)) ** 2 for x in r.embedding
+        )
+        norms.setdefault(r.label, []).append(n2)
+    got = {r.label: r for r in embedding_norm_stats(spark, sf_dir).collect()}
+    assert set(got) == set(norms)
+    for label, vals in norms.items():
+        g = got[label]
+        assert g.n_vecs == len(vals)
+        assert g.min_norm2_e12 == min(vals)
+        assert g.max_norm2_e12 == max(vals)
+        assert g.avg_norm2_e12 == sum(vals) // len(vals)
