@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "source_binaryfile_roundtrip",
     "embedding_norm_stats",
     "events_attribution",
+    "window_distribution_pack",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

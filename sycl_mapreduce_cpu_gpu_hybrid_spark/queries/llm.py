@@ -1165,8 +1165,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     terms = d.select("doc_id", F.explode(bigrams).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # tf feeds BOTH the df/idf aggregation and the score join; without
+    # a materialization the tokenize+explode+groupBy lineage executes
+    # twice (AQE exchange reuse is 1-of-4 reliable here — the minhash
+    # lesson pinned in tests/test_plans.py), so truncate it once.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))

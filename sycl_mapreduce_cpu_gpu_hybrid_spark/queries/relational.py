@@ -1281,3 +1281,53 @@ ORACLES["agg_quantile_bands"] = """
            max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
     FROM ranked GROUP BY 1
 """
+
+
+def window_distribution_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions — the §2.6 members the
+    rank/frame packs don't cover: percent_rank, cume_dist, nth_value,
+    and first/last over the full-partition frame. The order is total
+    (exact balance cents desc, then custkey), so every output is
+    engine-deterministic; percent_rank/cume_dist are IEEE divisions of
+    small exact integers, bit-identical across engines under round."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("bal_cents", 2).over(wf).alias("second_bal"),
+        F.first_value("bal_cents").over(wf).alias("top_bal"),
+        F.last_value("bal_cents").over(wf).alias("bottom_bal"),
+    )
+
+
+QUERIES["window_distribution_pack"] = window_distribution_pack
+ORACLES["window_distribution_pack"] = """
+    WITH c AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, bal_cents,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(bal_cents, 2) OVER wf AS second_bal,
+           first_value(bal_cents) OVER wf AS top_bal,
+           last_value(bal_cents) OVER wf AS bottom_bal
+    FROM c
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY bal_cents DESC, c_custkey ASC),
+           wf AS (PARTITION BY c_mktsegment
+                  ORDER BY bal_cents DESC, c_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
