@@ -180,3 +180,17 @@ def test_transition_matrix_scales_exactly(spark, sf_dir, monkeypatch):
         for r in behavioral.events_transition_matrix(spark, "unused").collect()
     }
     assert scaled == {k: v * 8 for k, v in base.items()}
+
+
+def test_triangle_orientation_invariance(spark, sf_dir):
+    """Triangle totals are orientation-independent: the degree-ordered
+    (declared, skew-safe) and id-ordered (measured faster on this
+    degree-uniform fixture) variants must agree exactly."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.behavioral import (
+        graph_triangles,
+    )
+
+    by_id = graph_triangles(spark, sf_dir, orientation="id").collect()
+    by_deg = graph_triangles(spark, sf_dir, orientation="degree").collect()
+    assert by_id == by_deg
+    assert by_id[0].n_triangles > 0
