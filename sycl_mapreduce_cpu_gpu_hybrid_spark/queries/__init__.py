@@ -59,6 +59,9 @@ _GATE_PRIORITY = [
     "embedding_norm_stats",
     "events_attribution",
     "window_distribution_pack",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q18_volume_customers",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

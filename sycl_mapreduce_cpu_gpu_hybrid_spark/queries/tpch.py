@@ -293,3 +293,136 @@ ORACLES["events_rolling_distinct"] = f"""
            ) AS BIGINT) AS u7
     FROM du
 """
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure filter-scan +
+    global sum — the query where predicate pushdown and column pruning
+    ARE the plan. All three predicates reach the parquet scan
+    (PushedFilters pinned in tests/test_tpch.py); revenue is the exact
+    integer e6 product, accumulation-order-proof."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * CAST(round(l_discount * 10000) AS BIGINT)"
+                )
+            ).alias("revenue_e6"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+QUERIES["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
+ORACLES["tpch_q6_forecast_revenue"] = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_e6,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue
+    from PROMO-type parts — the lineitem x part fact-dim join (the one
+    dimension key the join family didn't yet cover) with a conditional
+    aggregate on top. Share is exact e4 fixed-point integer division;
+    part is dimension-sized, so AQE broadcasts it under the fact
+    scan's month grouping."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.expr(_REV_E6).alias("rev"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(0)).alias(
+                "promo_rev_e6"
+            ),
+            F.sum("rev").alias("total_rev_e6"),
+        )
+        .select(
+            "month",
+            "promo_rev_e6",
+            "total_rev_e6",
+            F.expr("(promo_rev_e6 * 10000) DIV total_rev_e6")
+            .cast("bigint")
+            .alias("promo_share_e4"),
+        )
+    )
+
+
+QUERIES["tpch_q14_promo_share"] = tpch_q14_promo_share
+ORACLES["tpch_q14_promo_share"] = f"""
+    WITH j AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               CAST({_REV_E6_SQL} AS BIGINT) AS rev,
+               p_type = 'PROMO' AS is_promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), g AS (
+        SELECT month,
+               CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+                   AS promo_rev_e6,
+               CAST(sum(rev) AS BIGINT) AS total_rev_e6
+        FROM j GROUP BY month
+    )
+    SELECT month, promo_rev_e6, total_rev_e6,
+           CAST((promo_rev_e6 * 10000) // total_rev_e6 AS BIGINT)
+               AS promo_share_e4
+    FROM g
+"""
+
+
+def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity clears a threshold (the grouped-HAVING semi-join
+    back to the fact), then customer enrichment. The HAVING aggregate
+    runs BEFORE any join — the pre-aggregation that keeps the join
+    input order-grain, not line-grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("CAST(round(sum(l_quantity)) AS BIGINT)").alias("total_qty"))
+        .where(F.col("total_qty") > 210)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+QUERIES["tpch_q18_volume_customers"] = tpch_q18_volume_customers
+ORACLES["tpch_q18_volume_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 210
+    )
+    SELECT c_custkey, c_name, l_orderkey, o_orderdate, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""

@@ -253,3 +253,22 @@ def test_embedding_norm_stats_fixed_point_exact(spark, sf_dir):
         assert g.min_norm2_e12 == min(vals)
         assert g.max_norm2_e12 == max(vals)
         assert g.avg_norm2_e12 == sum(vals) // len(vals)
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    """Q6's plan IS its pushdown: the date/discount/quantity filters
+    must appear as PushedFilters on the parquet scan, and the read
+    schema must carry only the four referenced columns."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.tpch import (
+        tpch_q6_forecast_revenue,
+    )
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in schema, schema
