@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_share",
     "tpch_q18_volume_customers",
+    "join_point_in_time",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

@@ -426,3 +426,79 @@ ORACLES["tpch_q18_volume_customers"] = """
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
 """
+
+
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against the SCD2 dimension: for every
+    order, the customer's priority STATE 45 days later — probe date
+    between [valid_from, valid_to) with NULL valid_to as the open
+    current interval. The SCD2 intervals tile [first_change, ∞) per
+    key, so each probe matches EXACTLY one row (asserted by test):
+    the temporal-correctness join every warehouse with versioned
+    dimensions runs. Plan: equi-join on the dimension key with the
+    range condition as a post-join filter — hash/sort-merge
+    partitioned by key, never a broadcast-nested-loop over
+    inequality-only conditions."""
+    from .behavioral import scd2_order_priority
+
+    dim = scd2_order_priority(spark, sf_dir).select(
+        F.col("o_custkey").alias("d_custkey"),
+        "prio",
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),
+    )
+    probe = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(F.to_date("o_orderdate"), 45).alias("asof_date"),
+    )
+    return (
+        probe.join(
+            dim,
+            (F.col("o_custkey") == F.col("d_custkey"))
+            & (F.col("vf") <= F.col("asof_date"))
+            & (F.col("vt").isNull() | (F.col("asof_date") < F.col("vt"))),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "asof_date",
+            F.col("prio").alias("prio_at"),
+            F.col("vf").alias("valid_from"),
+        )
+    )
+
+
+QUERIES["join_point_in_time"] = join_point_in_time
+ORACLES["join_point_in_time"] = """
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    chg AS (
+        SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    dim AS (
+        SELECT o_custkey AS d_custkey,
+               o_orderpriority AS prio,
+               CAST(o_orderdate AS DATE) AS vf,
+               CAST(lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DATE) AS vt
+        FROM chg
+    ),
+    probe AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS asof_date
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, asof_date,
+           prio AS prio_at, vf AS valid_from
+    FROM probe
+    JOIN dim ON o_custkey = d_custkey
+            AND vf <= asof_date
+            AND (vt IS NULL OR asof_date < vt)
+"""

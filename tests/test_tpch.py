@@ -272,3 +272,19 @@ def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
     assert "l_extendedprice" in schema
     for col in ("l_orderkey", "l_partkey", "l_returnflag"):
         assert col not in schema, schema
+
+
+def test_pit_join_matches_exactly_once(spark, sf_dir):
+    """SCD2 intervals tile [first_change, ∞) per customer, so every
+    probe row (order + 45d) must match exactly one dimension row, and
+    the matched interval must actually contain the probe date."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.tpch import (
+        join_point_in_time,
+    )
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    rows = join_point_in_time(spark, sf_dir).collect()
+    assert len(rows) == n_orders
+    assert len({r.o_orderkey for r in rows}) == n_orders
+    for r in rows[:200]:
+        assert r.valid_from <= r.asof_date
