@@ -63,6 +63,8 @@ _GATE_PRIORITY = [
     "tpch_q14_promo_share",
     "tpch_q18_volume_customers",
     "join_point_in_time",
+    "stream_cdc_upsert",
+    "agg_mode_pack",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

@@ -786,3 +786,37 @@ ORACLES["source_binaryfile_roundtrip"] = f"""
     FROM documents
     WHERE doc_id < {_BINFILE_DOCS}
 """
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply on the gate: the events feed split into 4
+    files, drained one-file-per-micro-batch through foreachBatch, each
+    batch MERGEd latest-(ts, event_id)-wins into a keyed parquet state
+    (streaming/events.py stream_cdc_upsert_to_state — the streaming
+    complement of merge_upsert). The oracle replays the argmax over
+    the whole table in one window: any lost update, duplicate key, or
+    batch-order dependence in the incremental merge changes the final
+    state and fails the hash."""
+    from ..streaming.events import stream_cdc_upsert_to_state
+
+    state = stream_cdc_upsert_to_state(spark, sf_dir)
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_us"),
+    )
+
+
+QUERIES["stream_cdc_upsert"] = stream_cdc_upsert
+ORACLES["stream_cdc_upsert"] = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           CAST(epoch_us(ts) AS BIGINT) AS last_us
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+"""

@@ -1331,3 +1331,74 @@ ORACLES["window_distribution_pack"] = """
                   ORDER BY bal_cents DESC, c_custkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def agg_mode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie-break —
+    Spark's built-in mode() leaves ties engine-defined, so the
+    portable form is count + row_number (count desc, value asc): the
+    §2.3 family member the sum/avg/median packs don't cover. Two
+    modes in one result (categorical linestatus, integer quantity),
+    each from a count aggregate that shuffles group-cardinality rows,
+    then a window over those tiny count frames."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _mode(col: str, alias: str) -> DataFrame:
+        counts = li.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.desc("n"), F.asc(col)
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "l_returnflag",
+                F.col(col).alias(alias),
+                F.col("n").alias(f"{alias}_n"),
+            )
+        )
+
+    status = _mode("l_linestatus", "mode_status")
+    qty = li.withColumn("qty_int", F.col("l_quantity").cast("int"))
+    counts_q = qty.groupBy("l_returnflag", "qty_int").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("qty_int")
+    )
+    mode_q = (
+        counts_q.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty_int").alias("mode_qty"),
+            F.col("n").alias("mode_qty_n"),
+        )
+    )
+    return status.join(mode_q, "l_returnflag")
+
+
+QUERIES["agg_mode_pack"] = agg_mode_pack
+ORACLES["agg_mode_pack"] = """
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus AS mode_status,
+               CAST(count(*) AS BIGINT) AS mode_status_n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_linestatus ASC)
+                   AS rn
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), q AS (
+        SELECT l_returnflag, CAST(l_quantity AS INT) AS mode_qty,
+               CAST(count(*) AS BIGINT) AS mode_qty_n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC,
+                                           CAST(l_quantity AS INT) ASC) AS rn
+        FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS INT)
+    )
+    SELECT s.l_returnflag, s.mode_status, s.mode_status_n,
+           q.mode_qty, q.mode_qty_n
+    FROM s JOIN q ON s.l_returnflag = q.l_returnflag
+    WHERE s.rn = 1 AND q.rn = 1
+"""

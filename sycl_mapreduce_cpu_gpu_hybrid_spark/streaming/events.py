@@ -482,3 +482,77 @@ def stream_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cdc_upsert_to_state(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """CDC apply through the streaming engine: the events table poses
+    as a keyed change feed (key = user_id, version = (ts, event_id)),
+    split into ``n_files`` parquet files and drained ONE FILE PER
+    MICRO-BATCH (maxFilesPerTrigger=1) through foreachBatch, which
+    MERGEs each batch into a keyed parquet state — latest version
+    wins. This is the streaming complement of the batch MERGE
+    (queries/relational.py merge_upsert): same latest-wins semantics,
+    applied incrementally with a checkpoint instead of in one shot.
+
+    Correctness properties the declared query's oracle rides on:
+    - the merge is an argmax over (ts, event_id) — associative and
+      commutative, so the final state is independent of how the
+      engine batches the feed;
+    - re-delivery is idempotent: merging a batch twice is a no-op
+      (max of max), the foreachBatch contract's requirement;
+    - state stays key-grain: |users| rows regardless of feed length —
+      the bounded-state shape that survives an unbounded CDC stream.
+    The merged frame is localCheckpointed before the overwrite so the
+    state dir is never read and rewritten in the same job."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    base = base_dir or tempfile.mkdtemp(prefix="smrgh_cdc_")
+    feed, state_dir, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
+    changes = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    changes.repartition(n_files).write.mode("overwrite").parquet(feed)
+
+    scoped = spark.newSession()
+    schema = scoped.read.parquet(feed).schema
+    src = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            merged_src = s.read.parquet(state_dir).unionByName(batch_df)
+        else:
+            merged_src = batch_df
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = (
+            merged_src.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)

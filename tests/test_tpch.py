@@ -288,3 +288,29 @@ def test_pit_join_matches_exactly_once(spark, sf_dir):
     assert len({r.o_orderkey for r in rows}) == n_orders
     for r in rows[:200]:
         assert r.valid_from <= r.asof_date
+
+
+def test_stream_cdc_state_equals_batch_argmax(spark, sf_dir):
+    """The incrementally-merged streaming state must equal the batch
+    argmax over the whole feed — batch-order independence and
+    lost-update freedom in one equality."""
+    from pyspark.sql import Window
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.streaming.events import (
+        stream_cdc_upsert_to_state,
+    )
+
+    state = stream_cdc_upsert_to_state(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    expect = (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {(r.user_id, r.event_id) for r in state.collect()}
+    want = {(r.user_id, r.event_id) for r in expect.collect()}
+    assert got == want
