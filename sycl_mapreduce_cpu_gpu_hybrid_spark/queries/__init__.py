@@ -65,6 +65,8 @@ _GATE_PRIORITY = [
     "join_point_in_time",
     "stream_cdc_upsert",
     "agg_mode_pack",
+    "events_zorder_key",
+    "events_top_paths",
     # round-6 additions — zero driver evidence yet
     "events_funnel",
     "join_partition_pruned",

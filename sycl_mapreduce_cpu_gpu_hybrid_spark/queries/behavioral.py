@@ -768,3 +768,53 @@ ORACLES["events_attribution"] = """
     FROM events p
     WHERE p.event_type = 'purchase'
 """
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order path mining: the 10 most common 3-step event-type
+    paths across all users — the upgrade from events_transition_matrix
+    (first-order) that distinguishes view>click>purchase from
+    view>click>error journeys. Trigram extraction is TWO lead()s over
+    one user-ordered window (O(1) state per row — never a per-user
+    collect_list buffer, which at 100 TB would hold a power-user's
+    whole history in one aggregation buffer); counts shuffle on the
+    path string, and the top-10 is TakeOrderedAndProject. (ts,
+    event_id) is a total order so every trigram is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+QUERIES["events_top_paths"] = events_top_paths
+ORACLES["events_top_paths"] = """
+    WITH tri AS (
+        SELECT event_type
+               || '>' || lead(event_type, 1) OVER w
+               || '>' || lead(event_type, 2) OVER w AS path,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+"""

@@ -820,3 +820,50 @@ ORACLES["stream_cdc_upsert"] = """
     )
     WHERE rn = 1
 """
+
+
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key on the gate: the interleaved
+    (user_id, day) key that a lakehouse OPTIMIZE ZORDER computes
+    before rewriting files — sorting by it colocates rows close in
+    BOTH dimensions so row-group stats prune on either predicate
+    column (spread contrast measured in tests/test_warehouse.py).
+    Pure unrolled bit arithmetic (sources/warehouse.py
+    zorder_key_exprs), bit-identical across engines. Emits the key
+    plus file-granularity bucket counts a layout job would use to
+    size its rewrite."""
+    from ..sources.warehouse import zorder_key_exprs
+
+    spark_expr, _ = zorder_key_exprs("user_id", "day_ord")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_ord"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "day_ord",
+        F.expr(spark_expr).cast("bigint").alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..sources.warehouse import zorder_key_exprs
+
+    _, duck_expr = zorder_key_exprs("user_id", "day_ord")
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS day_ord
+            FROM events
+        )
+        SELECT event_id, user_id, CAST(day_ord AS INT) AS day_ord,
+               CAST({duck_expr} AS BIGINT) AS zkey
+        FROM e
+    """
+
+
+QUERIES["events_zorder_key"] = events_zorder_key
+ORACLES["events_zorder_key"] = _zorder_oracle()

@@ -66,3 +66,34 @@ def write_partitioned(
     """Hive-style partitioned parquet layout; scans with predicates on
     ``partition_cols`` prune whole directories (PartitionFilters)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key_exprs(x_col: str, y_col: str, bits: int = 16) -> tuple[str, str]:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns — the multi-dimensional clustering
+    key behind OPTIMIZE ZORDER in lakehouse table formats. Sorting by
+    the key colocates rows that are close in BOTH dimensions, so
+    parquet row-group min/max stats prune on either predicate column
+    (a single-column sort only ever prunes its own column — see
+    tests/test_warehouse.py for the measured spread contrast).
+
+    Returns (spark_sql, duckdb_sql): same unrolled bit arithmetic,
+    Spark spelled with shiftleft/shiftright functions, DuckDB with
+    << / >> operators — bit-identical results, so the key itself is
+    value-oracle-able."""
+    spark_terms = []
+    duck_terms = []
+    for i in range(bits):
+        spark_terms.append(
+            f"shiftleft(shiftright(CAST({x_col} AS BIGINT), {i}) & 1, {2 * i})"
+        )
+        spark_terms.append(
+            f"shiftleft(shiftright(CAST({y_col} AS BIGINT), {i}) & 1, {2 * i + 1})"
+        )
+        duck_terms.append(
+            f"(((CAST({x_col} AS BIGINT) >> {i}) & 1) << {2 * i})"
+        )
+        duck_terms.append(
+            f"(((CAST({y_col} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        )
+    return " + ".join(spark_terms), " + ".join(duck_terms)

@@ -77,3 +77,54 @@ def test_declared_dpp_query_prunes_at_runtime(spark, sf_dir):
     df = entry.queries()["join_partition_pruned"](spark, sf_dir)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_zorder_layout_colocates_both_dimensions(spark, sf_dir, tmp_path):
+    """Sorting files by the Morton key must bound per-file min/max
+    spread on BOTH dimensions, while a single-column sort leaves the
+    other dimension's per-file spread at ~full range — the property
+    that makes row-group stats prunable on either predicate."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.warehouse import (
+        zorder_key_exprs,
+    )
+
+    spark_expr, _ = zorder_key_exprs("user_id", "day_ord")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_ord"),
+        )
+        .withColumn("zkey", F.expr(spark_expr).cast("bigint"))
+    )
+    n_files = 16
+
+    def spreads(df, sort_col):
+        path = str(tmp_path / f"by_{sort_col}")
+        df.repartitionByRange(n_files, F.col(sort_col)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("u_spread"),
+                (F.max("day_ord") - F.min("day_ord")).alias("d_spread"),
+            )
+            .collect()
+        )
+        n = len(per_file)
+        return (
+            sum(r.u_spread for r in per_file) / n,
+            sum(r.d_spread for r in per_file) / n,
+        )
+
+    u_z, d_z = spreads(e, "zkey")
+    u_u, d_u = spreads(e, "user_id")
+    full_day = 29
+    # user-sorted files: perfect on user, useless on day
+    assert d_u >= full_day * 0.9
+    # z-ordered files: materially bounded on BOTH dimensions
+    assert d_z <= full_day * 0.6
+    assert u_z <= u_u + 150 * 0.6  # user spread stays bounded too
