@@ -48,6 +48,7 @@ from sycl_mapreduce_cpu_gpu_hybrid_spark.plans.metrics import (  # noqa: E402
 )
 
 POINTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "points.txt")
+RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 SWEEP_KS = [2, 4, 8, 16]
 SWEEP_NS = [100, 200, 400]
 # reference-MAGNITUDE grid (README.md:3-10: N up to 5,000,000
@@ -286,6 +287,27 @@ def run_ls_sweep(spark, sf_dir: str, recorder: MetricsRecorder) -> None:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prior_coalesce)
 
 
+def compact_summary(out: dict, full_path: str, budget: int = 1500) -> dict:
+    """Bound the one-line stdout summary to ``budget`` serialized
+    bytes: keep headline fields intact, trim the per-query map to the
+    slowest entries (10 at a time) until the line fits. The full map
+    lives at ``full_path``."""
+    timings = out["queries"]
+    compact = dict(out)
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = full_path
+    if out.get("errors"):
+        compact["errors"] = {
+            k: v[:80] for k, v in list(out["errors"].items())[:5]
+        }
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    while len(json.dumps(compact)) > budget and compact["queries"]:
+        slowest = slowest[: max(len(compact["queries"]) - 10, 0)]
+        compact["queries"] = {k: timings[k] for k in slowest}
+        compact["queries_shown"] = f"slowest {len(slowest)} of {len(timings)}"
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -318,7 +340,21 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The driver captures a bounded TAIL of stdout and parses the
+    # JSON it finds there. r6's single line grew past that buffer as
+    # the inventory passed ~100 queries, so the tail began mid-object
+    # and BENCH_r06.json recorded parsed: null. Emit the full record
+    # to results/ for humans, then print a compact line LAST — per-
+    # query map trimmed to the slowest entries until the serialized
+    # line fits well inside the tail window — so the final stdout
+    # line is always complete, parseable JSON.
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    full_path = os.path.join(RESULTS_DIR, "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    print(json.dumps(compact_summary(out, full_path)), flush=True)
 
 
 if __name__ == "__main__":

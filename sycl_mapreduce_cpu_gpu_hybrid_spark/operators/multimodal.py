@@ -145,13 +145,16 @@ def audio_stats(df: DataFrame) -> DataFrame:
     decode->feature stage."""
     out_schema = (
         "media_id bigint, sample_rate int, n_samples bigint,"
-        " sum_amp bigint, min_amp int, max_amp int"
+        " sum_amp bigint, min_amp int, max_amp int, amp_md5 string"
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             out = {k: [] for k in
-                   ("media_id", "sample_rate", "n_samples", "sum_amp", "min_amp", "max_amp")}
+                   ("media_id", "sample_rate", "n_samples", "sum_amp",
+                    "min_amp", "max_amp", "amp_md5")}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 samples, rate = decode_audio(bytes(payload))
                 mono = samples[:, 0].astype(np.int64)
@@ -161,6 +164,13 @@ def audio_stats(df: DataFrame) -> DataFrame:
                 out["sum_amp"].append(int(mono.sum()))
                 out["min_amp"].append(int(mono.min()))
                 out["max_amp"].append(int(mono.max()))
+                # digest of the full decoded sample vector: a hash
+                # mismatch downstream localizes to this media_id
+                out["amp_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(int(v)) for v in mono).encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     return (

@@ -44,59 +44,18 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # round-6 session-3 additions — zero driver evidence yet
-    "tpch_q3_priority",
-    "tpch_q5_region_volume",
-    "orders_yoy_growth",
-    "join_exists_correlated",
-    "events_rolling_distinct",
-    "text_chunk_sliding",
-    "corpus_pack_tokens",
-    "corpus_temperature_weights",
-    "dedup_incremental",
-    "text_bigram_lm",
-    "source_binaryfile_roundtrip",
-    "embedding_norm_stats",
-    "events_attribution",
-    "window_distribution_pack",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
-    "tpch_q18_volume_customers",
-    "join_point_in_time",
-    "stream_cdc_upsert",
-    "agg_mode_pack",
-    "events_zorder_key",
-    "events_top_paths",
-    # round-6 additions — zero driver evidence yet
-    "events_funnel",
-    "join_partition_pruned",
-    "join_runtime_filtered",
-    "events_rolling_7d",
-    "events_anomaly_mad",
-    "agg_quantile_bands",
-    "text_tfidf_topterms",
-    "agg_grouping_sets",
-    "pareto_revenue",
-    "events_histogram",
-    "events_transition_matrix",
-    "orders_rfm",
-    "basket_pairs",
-    "events_cohort_retention",
-    "events_gapfill",
-    "scd2_order_priority",
-    "graph_triangles",
-    "dq_audit",
-    "graph_pagerank",
-    "text_pii_redact",
-    "text_unigram_surprise",
-    "corpus_sample_stratified",
-    "text_inverted_index",
-    "embedding_kmeans",
-    "merge_upsert",
-    # round-5 late additions — gated locally, never sampled by the driver
+    # r6's only red rows (hash-FAIL from HUGEINT fetch-path widening,
+    # oracles rewritten r7) — must head the r7 sample to flip green
     "multimodal_decode_resize",
     "multimodal_audio_stats",
-    "corpus_decontaminate",
+    # stale r4 `no_oracle` FAIL ledger rows — r6 added bounded-error
+    # certificates but the driver never re-sampled them
+    "agg_approx_distinct",
+    "similarity_ivf_topk",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    # declared + locally green but never sampled by any driver round
+    "agg_median_approx",
     "text_repetition",
     "stream_running_max",
     "stream_interval_join",
@@ -108,11 +67,8 @@ _GATE_PRIORITY = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
-    "agg_median_approx",
-    "agg_approx_distinct",
-    "similarity_ivf_topk",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
+    # round-7 additions — zero driver evidence yet — append BELOW this
+    # line as they land, so a bounded sample still covers the 18 above
 ]
 
 

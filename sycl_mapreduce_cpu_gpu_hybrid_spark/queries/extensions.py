@@ -350,10 +350,15 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             px_int, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("px_sum"),
-        F.array_join(
-            F.slice(F.transform("pixels", lambda x: x.cast("bigint").cast("string")), 1, 12),
-            ",",
-        ).alias("head_csv"),
+        # md5 of the FULL pixel vector (row-major, CSV of ints): any
+        # future mismatch localizes to the exact media_id from the row
+        # alone instead of hiding inside an aggregate (r6 verdict #1)
+        F.md5(
+            F.array_join(
+                F.transform("pixels", lambda x: x.cast("bigint").cast("string")),
+                ",",
+            )
+        ).alias("px_md5"),
     )
 
 
@@ -571,6 +576,13 @@ ORACLES = {
     # codec-free replay of the deterministic pixel formula + 8x8
     # nearest-neighbor resample; Spark's side goes through the REAL
     # PNG encoder/decoder, so hash equality certifies the codec.
+    # Version-stable SQL only (r6 verdict #1): no list slicing, no
+    # map_extract, no list comprehensions — string_agg + plain GROUP
+    # BY; and SUM is cast to BIGINT because DuckDB's native
+    # SUM(BIGINT) returns HUGEINT, which round-trips as int via
+    # fetchall but degrades to float64/decimal128 on the pandas/arrow
+    # fetch paths (the exact r6 driver hash-fail mechanism —
+    # reproduced: df() dtype float64, arrow decimal128(38,0)).
     "multimodal_decode_resize": """
         WITH d AS (
             SELECT doc_id, doc_id % 48 + 1 AS h, doc_id % 64 + 1 AS w
@@ -587,27 +599,30 @@ ORACLES = {
                  unnest(range(0, 3)) AS c(i)
         )
         SELECT doc_id AS media_id,
-               SUM(v) AS px_sum,
-               array_to_string(
-                   (list(v ORDER BY yo, xo, c))[1:12], ',') AS head_csv
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY yo, xo, c))
+                   AS px_md5
         FROM px GROUP BY doc_id
     """,
     # codec-free replay of the PCM sample formula; Spark's side goes
-    # through the REAL RIFF/WAVE encoder/decoder.
+    # through the REAL RIFF/WAVE encoder/decoder. Same HUGEINT cast
+    # rule as multimodal_decode_resize; amp_md5 digests the full
+    # sample vector so a mismatch names its media_id.
     "multimodal_audio_stats": """
         WITH d AS (
             SELECT doc_id, doc_id % 100 + 20 AS n FROM documents
         ), s AS (
-            SELECT doc_id, n,
+            SELECT doc_id, n, t.i AS i,
                    CAST((doc_id * 7 + t.i * 13) % 2048 - 1024 AS BIGINT) AS amp
             FROM d, unnest(range(0, n)) AS t(i)
         )
         SELECT doc_id AS media_id,
                16000 AS sample_rate,
                n AS n_samples,
-               SUM(amp) AS sum_amp,
+               CAST(SUM(amp) AS BIGINT) AS sum_amp,
                CAST(MIN(amp) AS INT) AS min_amp,
-               CAST(MAX(amp) AS INT) AS max_amp
+               CAST(MAX(amp) AS INT) AS max_amp,
+               md5(string_agg(CAST(amp AS VARCHAR), ',' ORDER BY i)) AS amp_md5
         FROM s GROUP BY doc_id, n
     """,
 }

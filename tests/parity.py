@@ -86,9 +86,10 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str, strict
     s_sig = frame_signature(scols, srows, strict)
     if sql is None:
         return {"name": name, "mode": "rows_only", "rows": s_sig[0], "ok": s_sig[0] > 0}
-    res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    rel = con.sql(sql)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
     o_sig = frame_signature(ocols, orows, strict)
     ok = s_sig == o_sig
     if strict:
@@ -107,6 +108,27 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str, strict
                 "mode": "oracle",
                 "ok": False,
                 "error": f"strict: DECIMAL output columns banned in oracled queries: {dec}",
+            }
+        # DuckDB-side RESULT TYPES, not just fetched values: fetchall
+        # renders HUGEINT as a plain int (hiding it), but the driver's
+        # pandas/arrow fetch degrades HUGEINT to float64/decimal128 —
+        # the r6 multimodal hash-fail mechanism. Ban it at the type
+        # level so e.g. an uncast SUM(BIGINT) fails HERE first.
+        hazard = sorted(
+            c
+            for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or "DECIMAL" in t
+        )
+        if hazard:
+            return {
+                "name": name,
+                "mode": "oracle",
+                "ok": False,
+                "error": (
+                    "strict: oracle emits HUGEINT/DECIMAL result types "
+                    f"(unstable across driver fetch paths): {hazard} — "
+                    "CAST sums/divisions to BIGINT/DOUBLE in the SQL"
+                ),
             }
     out = {
         "name": name,

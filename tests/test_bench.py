@@ -63,3 +63,42 @@ def test_run_inventory_broken_analysis_time_query(spark):
     )
     assert set(timings) == {"good"}
     assert set(errors) == {"bad"}
+
+
+def test_compact_summary_fits_driver_tail_buffer():
+    """BENCH_r06.json recorded parsed: null because the one-line
+    summary outgrew the driver's ~2k stdout tail buffer once the
+    inventory passed ~100 queries. compact_summary must always
+    serialize under budget, keep the headline fields verbatim, and
+    degrade by trimming the per-query map to the slowest entries."""
+    import json
+
+    from bench import compact_summary
+
+    timings = {f"query_name_{i:03d}": round(0.1 * i, 4) for i in range(130)}
+    out = {
+        "metric": "bench_total_wall",
+        "value": 75.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "duck_floor": 0.04,
+    }
+    compact = compact_summary(out, "results/bench_full.json")
+    line = json.dumps(compact)
+    assert len(line) <= 1500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "bench_total_wall"
+    assert parsed["value"] == 75.0
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == 130
+    # trimmed map keeps the slowest queries
+    kept = parsed["queries"]
+    assert kept and max(timings, key=timings.get) in kept
+    # a small inventory is passed through untrimmed
+    small = compact_summary({**out, "queries": {"a": 1.0}}, "x")
+    assert small["queries"] == {"a": 1.0}
+    assert "queries_shown" not in small
+    # errors never blow the budget
+    noisy = compact_summary({**out, "errors": {"q": "boom" * 200}}, "x")
+    assert len(json.dumps(noisy)) <= 1500
