@@ -46,13 +46,32 @@ def cosine_sim(a: str, b: str) -> Column:
     )
 
 
+# Hard ceiling for driver-side vector-set materialization: 100k rows
+# of 64-dim float64 is ~51 MB — the upper end of a sane broadcast
+# build side. Above it the "small-by-contract" premise is broken and
+# the collect would OOM the driver at scale, so fail loudly instead.
+COLLECT_MATRIX_MAX_ROWS = 100_000
+
+
 def _collect_matrix(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = COLLECT_MATRIX_MAX_ROWS
 ) -> tuple[list, np.ndarray]:
     """Driver-side materialization of a *small-by-contract* vector set
     (query set / centroid table) for closure capture — the numpy
-    analog of a broadcast join build side."""
-    rows = df.select(id_col, vec_col).collect()
+    analog of a broadcast join build side. The contract is ASSERTED,
+    not assumed: collection is capped at ``max_rows`` via limit(n+1)
+    (bounded transfer even on violation) and raises if exceeded. The
+    IVF probe map inherits the bound transitively — it is
+    |queries| x n_probe rows and the query set passes through here
+    first."""
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"_collect_matrix: {id_col}/{vec_col} frame exceeds the "
+            f"small-by-contract ceiling of {max_rows} rows; this set is "
+            "not driver-collectable — shrink the query/centroid set or "
+            "use the distributed scoring path"
+        )
     ids = [r[0] for r in rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

@@ -304,6 +304,11 @@ def graph_triangles(
     degree 226, no hubs), so the deg lookup buys nothing locally; kept
     as the measured counter-example, equality property-tested in
     tests/test_scale_smoke.py."""
+    # validate BEFORE any DataFrame work: the edge pipeline below
+    # eagerly localCheckpoints, so a late check would pay a full Spark
+    # job just to raise
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"orientation must be degree|id, got {orientation!r}")
     from ..sources.tables import fan_out
 
     groups = (

@@ -217,31 +217,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_cache_dir(sf_dir: str, kind: str, table: str) -> str:
-    """Written-once roundtrip copy location, keyed on a FINGERPRINT of
-    the source parquet (absolute path + per-file size + mtime) and
-    anchored under the system temp dir: regenerating the fixture or
-    running from a different CWD changes/relocates the key, so a stale
-    copy can never be read against a fresh oracle (r5 advice). The
-    caller still writes mode("overwrite") guarded on _SUCCESS within
-    the keyed dir, making the write idempotent per fixture state."""
-    import hashlib
-    import tempfile
+    """Written-once roundtrip copy location — see
+    sources.tables.fingerprint_cache_dir (shared with the streaming
+    CDC state keying; moved there because streaming cannot import this
+    module without a cycle)."""
+    from ..sources.tables import fingerprint_cache_dir
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    h = hashlib.sha256(os.path.abspath(src).encode())
-    files = (
-        [src]
-        if os.path.isfile(src)
-        else [os.path.join(src, p) for p in sorted(os.listdir(src))]
-    )
-    for p in files:
-        st = os.stat(p)
-        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
-    return os.path.join(
-        tempfile.gettempdir(),
-        "smrgh_roundtrip",
-        f"{kind}_{table}_{h.hexdigest()[:16]}",
-    )
+    return fingerprint_cache_dir(sf_dir, kind, table)
 
 
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

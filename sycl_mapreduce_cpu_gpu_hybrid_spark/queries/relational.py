@@ -158,7 +158,21 @@ def agg_median(
     Outputs are plain round(x, 4) doubles (driver-hash-safe)."""
     li = _t(spark, sf_dir, "lineitem")
     if sf_dir not in _MEDIAN_PROBE_CACHE:
-        _MEDIAN_PROBE_CACHE[sf_dir] = li.count()
+        # parquet FOOTER row count via pyarrow — zero Spark jobs at
+        # query-declaration time (the r6 shape ran li.count(), a
+        # collect()-class action that is a full first-touch scan risk
+        # at 100 TB; footers are O(files) metadata reads). Falls back
+        # to the Spark count only if the source isn't a local parquet
+        # file (e.g. a test passes a view-backed sf_dir).
+        import os as _os
+
+        path = _os.path.join(sf_dir, "lineitem.parquet")
+        if _os.path.exists(path):
+            import pyarrow.parquet as _pq
+
+            _MEDIAN_PROBE_CACHE[sf_dir] = _pq.read_metadata(path).num_rows
+        else:
+            _MEDIAN_PROBE_CACHE[sf_dir] = li.count()
     if _MEDIAN_PROBE_CACHE[sf_dir] > exact_max_rows:
         # percentile_approx with accuracy 10000: ~0.01% rank error,
         # fixed-size sketch merged map-side, no value buffering.
@@ -1341,7 +1355,9 @@ def agg_mode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     modes in one result (categorical linestatus, integer quantity),
     each from a count aggregate that shuffles group-cardinality rows,
     then a window over those tiny count frames."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("int")
+    )
 
     def _mode(col: str, alias: str) -> DataFrame:
         counts = li.groupBy("l_returnflag", col).agg(
@@ -1360,24 +1376,9 @@ def agg_mode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    status = _mode("l_linestatus", "mode_status")
-    qty = li.withColumn("qty_int", F.col("l_quantity").cast("int"))
-    counts_q = qty.groupBy("l_returnflag", "qty_int").agg(
-        F.count(F.lit(1)).alias("n")
+    return _mode("l_linestatus", "mode_status").join(
+        _mode("qty_int", "mode_qty"), "l_returnflag"
     )
-    wq = Window.partitionBy("l_returnflag").orderBy(
-        F.desc("n"), F.asc("qty_int")
-    )
-    mode_q = (
-        counts_q.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.col("qty_int").alias("mode_qty"),
-            F.col("n").alias("mode_qty_n"),
-        )
-    )
-    return status.join(mode_q, "l_returnflag")
 
 
 QUERIES["agg_mode_pack"] = agg_mode_pack

@@ -108,3 +108,35 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def fingerprint_cache_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Written-once derived-copy location, keyed on a FINGERPRINT of
+    the source parquet (absolute path + per-file size + mtime) and
+    anchored under the system temp dir: regenerating the fixture or
+    running from a different CWD changes/relocates the key, so a stale
+    copy can never be read against a fresh oracle (r5 advice), and
+    repeated bench/parity runs reuse ONE tree instead of accumulating
+    mkdtemp leftovers (r6 advice). Callers guard their writes on a
+    _SUCCESS marker inside the keyed dir, making them idempotent per
+    fixture state. Local-filesystem paths only (os.stat on the source,
+    tempdir anchor) — cluster deployments point derived state at a
+    shared filesystem instead."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha256(os.path.abspath(src).encode())
+    files = (
+        [src]
+        if os.path.isfile(src)
+        else [os.path.join(src, p) for p in sorted(os.listdir(src))]
+    )
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        "smrgh_roundtrip",
+        f"{kind}_{table}_{h.hexdigest()[:16]}",
+    )

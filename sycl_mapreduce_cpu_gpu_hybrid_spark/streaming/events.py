@@ -508,20 +508,32 @@ def stream_cdc_upsert_to_state(
     - state stays key-grain: |users| rows regardless of feed length —
       the bounded-state shape that survives an unbounded CDC stream.
     The merged frame is localCheckpointed before the overwrite so the
-    state dir is never read and rewritten in the same job."""
+    state dir is never read and rewritten in the same job.
+
+    Storage: the default base dir is KEYED on the fixture fingerprint
+    (sources.tables.fingerprint_cache_dir — r6 advice: mkdtemp per
+    invocation accumulated feed+state+checkpoint trees under /tmp
+    across bench/parity runs), so repeated runs against an unchanged
+    fixture reuse one tree: the feed write is _SUCCESS-guarded, the
+    checkpoint already covers the feed, availableNow finds nothing new,
+    and the call returns the (deterministic) persisted state. A run
+    killed mid-stream resumes from the checkpoint and converges to the
+    same state — the merge is idempotent. Local filesystem only (the
+    _SUCCESS probes and tempdir anchor assume one); cluster
+    deployments pass an explicit shared-FS ``base_dir``."""
     import os
-    import tempfile
 
     from pyspark.sql import Window
 
-    from ..sources.tables import load_table
+    from ..sources.tables import fingerprint_cache_dir, load_table
 
-    base = base_dir or tempfile.mkdtemp(prefix="smrgh_cdc_")
+    base = base_dir or fingerprint_cache_dir(sf_dir, "cdc_state", "events")
     feed, state_dir, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
-    changes = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    changes.repartition(n_files).write.mode("overwrite").parquet(feed)
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        changes = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        changes.repartition(n_files).write.mode("overwrite").parquet(feed)
 
     scoped = spark.newSession()
     schema = scoped.read.parquet(feed).schema

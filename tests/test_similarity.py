@@ -76,3 +76,22 @@ def test_bruteforce_plan_no_join(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_collect_matrix_ceiling_raises_loudly(spark, sf_dir):
+    """The small-by-contract premise of the driver-side vector-set
+    collection is asserted, not assumed (r6 verdict #5): an oversized
+    frame must raise — with a bounded transfer (limit n+1, never a
+    full collect) — instead of silently OOMing the driver at scale."""
+    import pytest
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.similarity import (
+        _collect_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="small-by-contract ceiling"):
+        _collect_matrix(emb, "vec_id", "embedding", max_rows=5)
+    # at-or-under the ceiling still collects normally
+    ids, mat = _collect_matrix(emb.limit(5), "vec_id", "embedding", max_rows=5)
+    assert len(ids) == 5 and mat.shape[0] == 5
