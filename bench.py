@@ -287,6 +287,42 @@ def run_ls_sweep(spark, sf_dir: str, recorder: MetricsRecorder) -> None:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prior_coalesce)
 
 
+def write_attempt(
+    logfile: str,
+    n: int,
+    k: int,
+    ls: int,
+    bs: int,
+    dev: str,
+    status: int,
+) -> int:
+    """Run-attempt bookkeeping in the reference's attempts.log format
+    (scripts/old/attemptwriter.sh:17-39): one parameter header line
+    per attempt — attempt number derived by counting existing headers,
+    exactly like the shell script's grep -c — followed by
+    Success / Fail -syserror (signal S) for status >= 128 /
+    Fail -missing, and a separator. Returns the attempt number."""
+    os.makedirs(os.path.dirname(logfile), exist_ok=True)
+    attempt = 1
+    if os.path.exists(logfile):
+        with open(logfile) as fh:
+            attempt += sum(
+                1
+                for line in fh
+                if re.match(r"^Attempt [0-9]+: N=", line)
+            )
+    with open(logfile, "a") as fh:
+        fh.write(f"Attempt {attempt}: N={n}, K={k}, LS={ls}, BS={bs}, DEV={dev}\n")
+        if status == 0:
+            fh.write(f"Attempt {attempt}: Success\n")
+        elif status >= 128:
+            fh.write(f"Attempt {attempt}: Fail -syserror (signal {status - 128})\n")
+        else:
+            fh.write(f"Attempt {attempt}: Fail -missing\n")
+        fh.write("--------------------------------\n")
+    return attempt
+
+
 def compact_summary(out: dict, full_path: str, budget: int = 1500) -> dict:
     """Bound the one-line stdout summary to ``budget`` serialized
     bytes: keep headline fields intact, trim the per-query map to the
@@ -354,6 +390,18 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
+    # reference-shape attempt ledger: one entry per bench run, Success
+    # iff every query timed without error (attemptwriter.sh semantics:
+    # a run that produced no usable result is Fail -missing)
+    write_attempt(
+        os.path.join(RESULTS_DIR, "attempts.log"),
+        n=n_scale,
+        k=0,
+        ls=ls,
+        bs=len(timings),
+        dev="spark-local",
+        status=0 if not errors else 1,
+    )
     print(json.dumps(compact_summary(out, full_path)), flush=True)
 
 

@@ -761,3 +761,60 @@ def embedding_lsh_pairs(
         .select("a", "b", F.round(pair_cos("_va", "_vb"), 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def editdistance_verify_pairs(
+    docs: DataFrame,
+    max_dist: int = 60,
+    band_width: int = 4,
+    max_block: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Edit-distance verify tier behind PORTABLE length-band blocking:
+    docs are bucketed on (lang, length DIV band_width), candidate
+    pairs are generated group-locally inside each bucket (sorted-array
+    i<j expansion, the basket_pairs rewrite — no self-join), and each
+    pair is scored with JVM ``levenshtein`` (character-exact; both
+    engines define it on codepoints for BMP text). Near-identical
+    texts land in the same or adjacent band; like every blocked
+    dedup tier the recall/ cost trade is explicit: O(groups x
+    max_block^2) pairs, never all-pairs, and a ``max_block`` cap
+    bounds any boilerplate-length hot bucket.
+
+    The blocking key is pure arithmetic on (lang, char_length), so a
+    SQL oracle reproduces the candidate set EXACTLY — unlike the
+    xxhash64 minhash/simhash tiers whose pair sets are hash-family-
+    specific — making this the gate-friendly verify-tier twin.
+    Returns (a, b, dist) for pairs with dist <= max_dist."""
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.col(lang_col).alias("_lang"),
+        (F.length(text_col).cast("bigint") / band_width)
+        .cast("bigint")
+        .alias("_band"),
+    )
+    blocks = (
+        keyed.groupBy("_lang", "_band")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids").between(2, max_block))
+    )
+    pairs = blocks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    ta = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .select("a", "b", F.levenshtein("_ta", "_tb").cast("int").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )

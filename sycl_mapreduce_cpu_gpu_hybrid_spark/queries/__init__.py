@@ -69,6 +69,12 @@ _GATE_PRIORITY = [
     "source_orc_roundtrip",
     # round-7 additions — zero driver evidence yet — append BELOW this
     # line as they land, so a bounded sample still covers the 18 above
+    "dedup_editdistance_verify",
+    "corpus_mix_schedule",
+    "embedding_quantize_int8",
+    "events_concurrency",
+    "agg_stats_moments",
+    "stream_dedup",
 ]
 
 

@@ -823,3 +823,97 @@ ORACLES["events_top_paths"] = """
     ORDER BY n DESC, path ASC
     LIMIT 10
 """
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line: per-user sessions (30-min gap
+    rule, the events_sessionization convention) clipped to days by
+    sessionizing within (user, day), turned into +1/-1 boundary
+    events, swept with a running sum per day — max concurrent
+    sessions and session count per day. The capacity-planning shape
+    (peak simultaneous load) Spark has no built-in for.
+
+    Determinism: at equal timestamps starts order before ends
+    (d DESC), and the per-day MAX of the running sum is invariant to
+    any residual tie permutation (within an equal-(t, d) block the
+    cumulative only climbs or only falls, so the block-end value —
+    where the max lives — is permutation-independent); both engines
+    therefore agree exactly. Scale: both windows partition by day (or
+    user-day) — no global ordering anywhere."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.to_date("ts").alias("day")
+    )
+    wu = Window.partitionBy("user_id", "day").orderBy("ts", "value")
+    prev = F.lag("ts").over(wu)
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                prev.isNull()
+                | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "day", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sess.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select("day", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("run", F.sum("d").over(wd))
+        .groupBy("day")
+        .agg(
+            F.max("run").cast("int").alias("max_concurrent"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+    )
+
+
+QUERIES["events_concurrency"] = events_concurrency
+ORACLES["events_concurrency"] = """
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, value)
+    ), numbered AS (
+        SELECT user_id, day, ts,
+               sum(new_s) OVER (PARTITION BY user_id, day ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, day, sid, min(ts) AS s, max(ts) AS e
+        FROM numbered GROUP BY user_id, day, sid
+    ), deltas AS (
+        SELECT day, s AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT day, e AS t, -1 AS d FROM sess
+    ), swept AS (
+        SELECT day, d,
+               sum(d) OVER (PARTITION BY day ORDER BY t ASC, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS run
+        FROM deltas
+    )
+    SELECT day,
+           CAST(max(run) AS INT) AS max_concurrent,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions
+    FROM swept GROUP BY day
+"""

@@ -864,3 +864,27 @@ def _zorder_oracle() -> str:
 
 QUERIES["events_zorder_key"] = events_zorder_key
 ORACLES["events_zorder_key"] = _zorder_oracle()
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-id dedup on the VALUE gate
+    (streaming/events.stream_dedup_to_table): a feed with planted
+    duplicate files drained through dropDuplicatesWithinWatermark,
+    digested to exact integers per event_type. The oracle replays the
+    digest over the original table — streaming dedup of the
+    duplicated feed must equal batch DISTINCT."""
+    from ..streaming.events import stream_dedup_to_table
+
+    return stream_dedup_to_table(spark, sf_dir)
+
+
+QUERIES["stream_dedup"] = stream_dedup
+ORACLES["stream_dedup"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(event_id) AS BIGINT) AS min_eid,
+           CAST(max(event_id) AS BIGINT) AS max_eid,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events GROUP BY event_type
+"""

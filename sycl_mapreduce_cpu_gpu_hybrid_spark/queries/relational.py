@@ -1403,3 +1403,58 @@ ORACLES["agg_mode_pack"] = """
     FROM s JOIN q ON s.l_returnflag = q.l_returnflag
     WHERE s.rn = 1 AND q.rn = 1
 """
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact moment statistics per group: raw power sums
+    (Σx, Σx², Σx³ over integer quantities) plus population variance in
+    e2 fixed point — every column an exact BIGINT, every sum map-side
+    combinable (the textbook distributed-moments shape: partial power
+    sums merge associatively, unlike a naive two-pass mean/deviation
+    plan). var_e2 = ((n·Σx² − (Σx)²) · 100) DIV n² stays inside int64
+    up to n ≈ 2e6 per group at these magnitudes (bound documented;
+    DuckDB's HUGEINT intermediates make its side exact regardless,
+    and the result columns are cast to BIGINT per the fetch-stability
+    rule)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("bigint").alias("sum_x3"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "sum_x",
+        "sum_x2",
+        "sum_x3",
+        F.expr("((n * sum_x2 - sum_x * sum_x) * 100) DIV (n * n)").alias(
+            "var_e2"
+        ),
+    )
+
+
+QUERIES["agg_stats_moments"] = agg_stats_moments
+ORACLES["agg_stats_moments"] = """
+    WITH a AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_x,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sum_x2,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS sum_x3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(sum_x AS BIGINT) AS sum_x,
+           CAST(sum_x2 AS BIGINT) AS sum_x2,
+           CAST(sum_x3 AS BIGINT) AS sum_x3,
+           CAST(((n * sum_x2 - sum_x * sum_x) * 100) // (n * n) AS BIGINT)
+               AS var_e2
+    FROM a
+"""

@@ -568,3 +568,52 @@ def stream_cdc_upsert_to_state(
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+def stream_dedup_to_table(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Streaming exactly-once-per-id dedup end to end: a feed with
+    REAL duplicates (the full events table plus a second copy of the
+    event_id % 3 == 0 slice, as separate parquet files) is drained
+    through dropDuplicatesWithinWatermark (dedup_within_watermark)
+    into a memory sink, then reduced to an exact integer digest per
+    event_type. The feed is drained in ONE availableNow batch (no
+    maxFilesPerTrigger) so the result is deterministic regardless of
+    file enumeration order — multi-batch re-delivery semantics are
+    exercised by stream_cdc_upsert, watermark-horizon eviction by the
+    operator's unit tests. Oracle: the digest over the DISTINCT feed,
+    i.e. the original table — streaming dedup must reproduce batch
+    DISTINCT exactly.
+
+    Storage keyed on the fixture fingerprint like the CDC state (one
+    tree per fixture state, local FS)."""
+    import os
+
+    from ..sources.tables import fingerprint_cache_dir, load_table
+
+    base = base_dir or fingerprint_cache_dir(sf_dir, "stream_dedup", "events")
+    feed = f"{base}/feed"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        ev.coalesce(2).write.mode("overwrite").parquet(feed)
+        dup = ev.where(F.col("event_id") % 3 == 0)
+        dup.coalesce(1).write.mode("append").parquet(feed)
+
+    scoped = spark.newSession()
+    schema = scoped.read.parquet(feed).schema
+    src = scoped.readStream.schema(schema).parquet(feed)
+    for f in src.schema:
+        if f.dataType.typeName() == "timestamp_ntz":
+            src = src.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    deduped = dedup_within_watermark(src, watermark="1 hour")
+    run_available_now(deduped, "stream_dedup_sink", mode="append")
+    back = scoped.table("stream_dedup_sink")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("event_id").cast("bigint").alias("min_eid"),
+        F.max("event_id").cast("bigint").alias("max_eid"),
+        F.sum("event_id").cast("bigint").alias("sum_eid"),
+    )

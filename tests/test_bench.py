@@ -102,3 +102,21 @@ def test_compact_summary_fits_driver_tail_buffer():
     # errors never blow the budget
     noisy = compact_summary({**out, "errors": {"q": "boom" * 200}}, "x")
     assert len(json.dumps(noisy)) <= 1500
+
+
+def test_write_attempt_reference_ledger_format(tmp_path):
+    """Port of the reference's attempts.log bookkeeping
+    (scripts/old/attemptwriter.sh:17-39): attempt numbers derived by
+    counting existing headers; Success / signal / missing outcomes."""
+    from bench import write_attempt
+
+    log = str(tmp_path / "logs" / "attempts.log")
+    assert write_attempt(log, n=100, k=8, ls=32, bs=5, dev="spark-local", status=0) == 1
+    assert write_attempt(log, n=200, k=4, ls=16, bs=5, dev="spark-local", status=137) == 2
+    assert write_attempt(log, n=300, k=2, ls=8, bs=5, dev="spark-local", status=1) == 3
+    text = open(log).read()
+    assert "Attempt 1: N=100, K=8, LS=32, BS=5, DEV=spark-local" in text
+    assert "Attempt 1: Success" in text
+    assert "Attempt 2: Fail -syserror (signal 9)" in text
+    assert "Attempt 3: Fail -missing" in text
+    assert text.count("--------------------------------") == 3
