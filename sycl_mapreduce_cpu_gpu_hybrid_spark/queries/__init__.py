@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "events_concurrency",
     "agg_stats_moments",
     "stream_dedup",
+    "relational_unpivot",
 ]
 
 

@@ -1458,3 +1458,54 @@ ORACLES["agg_stats_moments"] = """
                AS var_e2
     FROM a
 """
+
+
+def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt through Spark's native unpivot API (the §2.2
+    reshaping surface member the projection/pivot family didn't
+    cover; pivot's inverse). Four per-line measures are first pinned
+    to exact integer fixed-point (cents / e4), then unpivoted to
+    (key, metric, val) rows. The oracle replays as a UNION ALL of four
+    projections — deliberately the most version-stable SQL equivalent,
+    and semantically exactly what unpivot emits (non-null values,
+    metric named by source column). Narrow plan: scan -> project ->
+    expand, zero shuffle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    # the proven exact fixed-point conversion (queries/tpch.py:11-13):
+    # round() before the cast — a 2/4-decimal double scaled up is
+    # within 1e-9 of an integer, so round is tie-free on both engines,
+    # while a bare cast would TRUNCATE on Spark and ROUND on DuckDB
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty_e2"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_e2"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("disc_e4"),
+        F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("tax_e4"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty_e2", "price_e2", "disc_e4", "tax_e4"],
+        "metric",
+        "val",
+    )
+
+
+QUERIES["relational_unpivot"] = relational_unpivot
+ORACLES["relational_unpivot"] = """
+    WITH wide AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+               CAST(round(l_discount * 10000) AS BIGINT) AS disc_e4,
+               CAST(round(l_tax * 10000) AS BIGINT) AS tax_e4
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    SELECT l_orderkey, l_linenumber, 'qty_e2' AS metric, qty_e2 AS val FROM wide
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price_e2', price_e2 FROM wide
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc_e4', disc_e4 FROM wide
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax_e4', tax_e4 FROM wide
+"""
