@@ -368,6 +368,7 @@ def ngram_jaccard_pairs(
     k: int = 6,
     threshold: float = 0.6,
     max_doc_freq_frac: float = 0.02,
+    max_doc_freq_abs: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -410,7 +411,19 @@ def ngram_jaccard_pairs(
     # clamped to >= 1 so corpora under 1/max_doc_freq_frac docs don't
     # silently drop every shingle and return an empty pair set
     n_docs = docs.agg(F.countDistinct(F.col(id_col)).alias("_n"))
-    df_cap = F.greatest(F.lit(1), F.floor(F.col("_n") * F.lit(max_doc_freq_frac)))
+    # r7: the FRACTIONAL cap alone is a scale bug — 0.02·N grows with
+    # the corpus, so per-shingle pair fan-out (≤ df_cap²/2) is still
+    # quadratic in N. The ABSOLUTE component bounds it at any scale:
+    # at the derived sf1 the DuckDB oracle replay dropped 302s → 128s
+    # with the IDENTICAL pair set (hot shingles past 500 docs carry no
+    # ≥0.6 pairs), and the gate fixtures are unaffected (frac caps 10
+    # and 100). Pass None to disable (the recall-certificate TRUTH
+    # must stay uncapped — a cap reshapes the Jaccard space; its
+    # boundedness comes from the absolute sampled-doc budget instead).
+    frac_cap = F.floor(F.col("_n") * F.lit(max_doc_freq_frac))
+    if max_doc_freq_abs is not None:
+        frac_cap = F.least(frac_cap, F.lit(max_doc_freq_abs))
+    df_cap = F.greatest(F.lit(1), frac_cap)
     idx = (
         sh.groupBy("shingle")
         # collect_set IS the per-shingle doc dedup — feeding it raw

@@ -119,7 +119,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, k=6, num_hashes=64, bands=16, threshold=0.7
     ).select("a", "b")
     truth = ngram_jaccard_pairs(
-        _truth_sample(d), k=6, threshold=0.9, max_doc_freq_frac=1.0
+        _truth_sample(d),
+        k=6,
+        threshold=0.9,
+        max_doc_freq_frac=1.0,
+        max_doc_freq_abs=None,
     ).select("a", "b")
     return _pair_recall_cert(cand, truth, recall_floor_e2=90)
 
@@ -139,7 +143,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     cand = simhash_near_pairs(d, max_hamming=3).select("a", "b")
     truth = ngram_jaccard_pairs(
-        _truth_sample(d), k=6, threshold=0.9, max_doc_freq_frac=1.0
+        _truth_sample(d),
+        k=6,
+        threshold=0.9,
+        max_doc_freq_frac=1.0,
+        max_doc_freq_abs=None,
     ).select("a", "b")
     return _pair_recall_cert(cand, truth, recall_floor_e2=40)
 
@@ -383,8 +391,9 @@ _NGRAM_PAIRS_SQL = """
             WHERE length(text) >= 6
         ), hot AS (
             SELECT g FROM sh GROUP BY g
-            HAVING count(*) > greatest(1, CAST(floor(
-                0.02 * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT))
+            HAVING count(*) > greatest(1, least(CAST(floor(
+                0.02 * (SELECT count(DISTINCT doc_id) FROM documents))
+                AS BIGINT), 500))
         ), kept AS (
             SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)
         ), sizes AS (
@@ -639,8 +648,8 @@ ORACLES = {
         FROM b GROUP BY 1, 2
     """,
     "corpus_curate": rf"""
-        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT a AS src, b AS dst FROM pairs
             UNION ALL
             SELECT b AS src, a AS dst FROM pairs
@@ -683,8 +692,8 @@ ORACLES = {
         GROUP BY lang
     """,
     "dedup_clusters": f"""
-        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT a AS src, b AS dst FROM pairs
             UNION ALL
             SELECT b AS src, a AS dst FROM pairs
