@@ -22,6 +22,7 @@ from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import TABLE_NAMES  # no
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])  # optional query-name subset
     spark = get_spark(app_name="ratio")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -32,7 +33,7 @@ def main() -> None:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows = []
     for name, fn in qs.items():
-        if name not in oracles:
+        if name not in oracles or (only and name not in only):
             continue
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

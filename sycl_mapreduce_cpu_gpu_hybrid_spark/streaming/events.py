@@ -226,7 +226,7 @@ def stream_running_max_to_table(
 
 
 def stream_interval_join_to_table(
-    spark: SparkSession, sf_dir: str, name: str = "stream_ss_join"
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
 ) -> DataFrame:
     """Stream-stream interval join: clicks joined to the purchases
     that follow within 1 hour, both sides watermarked so join state is
@@ -266,9 +266,15 @@ def stream_interval_join_to_table(
     # horizon key-cardinality on a real deployment (see
     # stream_tumbling_to_table's state_partitions discussion)
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    run_available_now(joined, name, mode="append")
+    # durable keyed sink: re-runs resume the complete checkpoint and
+    # drain nothing (restart-resume exactly-once; inner-join append
+    # rows are immutable once emitted, so the sink is append-safe)
+    from ..sources.tables import fingerprint_cache_dir
+
+    base = base_dir or fingerprint_cache_dir(sf_dir, "stream_ssjoin", "events")
+    stream_to_parquet(joined, f"{base}/sink", f"{base}/ckpt")
     return (
-        scoped.table(name)
+        scoped.read.parquet(f"{base}/sink")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -278,7 +284,7 @@ def stream_interval_join_to_table(
 
 
 def stream_enrich_to_table(
-    spark: SparkSession, sf_dir: str, name: str = "stream_enrich"
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
 ) -> DataFrame:
     """Stream-static enrichment join: the purchase stream joined to
     the customer dimension (broadcast — stateless, no watermark
@@ -297,9 +303,12 @@ def stream_enrich_to_table(
     )
     enriched = purchases.join(F.broadcast(dim), "user_id")
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    run_available_now(enriched, name, mode="append")
+    from ..sources.tables import fingerprint_cache_dir
+
+    base = base_dir or fingerprint_cache_dir(sf_dir, "stream_enrich", "events")
+    stream_to_parquet(enriched, f"{base}/sink", f"{base}/ckpt")
     return (
-        scoped.table(name)
+        scoped.read.parquet(f"{base}/sink")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -408,10 +417,13 @@ def stream_purchases_to_parquet(
     micro-batch), then read the files back and aggregate per day in
     batch. The returned frame is the proof the durable sink holds
     exactly the streamed rows. Conf stays on a cloned session, same as
-    stream_tumbling_to_table."""
-    import tempfile
+    stream_tumbling_to_table. The base dir is keyed on the fixture
+    fingerprint (one durable tree per fixture state): re-runs resume
+    the complete checkpoint, drain nothing, and read the sink —
+    restart-resume exactly-once, not a fresh re-ingest per call."""
+    from ..sources.tables import fingerprint_cache_dir
 
-    base = base_dir or tempfile.mkdtemp(prefix="stream_pq_")
+    base = base_dir or fingerprint_cache_dir(sf_dir, "stream_pq", "events")
     scoped = spark.newSession()
     src = stream_events(scoped, sf_dir)
     purchases = src.where(F.col("event_type") == "purchase").select(
@@ -608,8 +620,12 @@ def stream_dedup_to_table(
         if f.dataType.typeName() == "timestamp_ntz":
             src = src.withColumn(f.name, F.col(f.name).cast("timestamp"))
     deduped = dedup_within_watermark(src, watermark="1 hour")
-    run_available_now(deduped, "stream_dedup_sink", mode="append")
-    back = scoped.table("stream_dedup_sink")
+    # durable sink + checkpoint under the SAME keyed base: a re-run
+    # against an unchanged fixture resumes a complete checkpoint,
+    # drains nothing, and reads the sink back — the restart-resume
+    # exactly-once property, same as stream_cdc_upsert
+    stream_to_parquet(deduped, f"{base}/sink", f"{base}/sink_ckpt")
+    back = scoped.read.parquet(f"{base}/sink")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
