@@ -89,6 +89,23 @@ def _text_perturb(factor: int) -> str:
     return f"CASE WHEN r.i = 0 THEN text {cases} END AS text"
 
 
+def _embedding_perturb() -> str:
+    """Per-replica CIRCULAR ROTATION of the embedding array: verbatim
+    clones give every vector ``factor - 1`` exact duplicates (max
+    cosine 1.0 to 9 others), degenerating LSH buckets and ANN truth
+    exactly like cloned texts degenerate shingle buckets. Rotating by
+    ``r.i`` positions keeps the value multiset and the L2 norm (norm
+    profiles per label stay identical) while decorrelating directions,
+    so each replica block reproduces the ORIGINAL similarity
+    structure. Pure list slicing — generator-only SQL, not an oracle,
+    so the version-stability rule doesn't apply."""
+    return (
+        "CASE WHEN r.i = 0 THEN embedding ELSE"
+        " list_concat(embedding[r.i + 1:], embedding[:r.i])"
+        " END AS embedding"
+    )
+
+
 def make(src: str, out: str, factor: int) -> None:
     if not 1 <= factor <= 26:
         raise ValueError("factor must be in [1, 26] (Caesar rotation alphabet)")
@@ -110,12 +127,16 @@ def make(src: str, out: str, factor: int) -> None:
                 " (FORMAT PARQUET)"
             )
             continue
-        exprs = ", ".join(
-            f"{c} + r.i * {domains[remaps[c]]} AS {c}"
-            if c in remaps
-            else (_text_perturb(factor) if table == "documents" and c == "text" else c)
-            for c in cols
-        )
+        def col_expr(c: str) -> str:
+            if c in remaps:
+                return f"{c} + r.i * {domains[remaps[c]]} AS {c}"
+            if table == "documents" and c == "text":
+                return _text_perturb(factor)
+            if table == "embeddings" and c == "embedding":
+                return _embedding_perturb()
+            return c
+
+        exprs = ", ".join(col_expr(c) for c in cols)
         con.execute(
             f"COPY (SELECT {exprs}"
             f" FROM read_parquet('{src_path}'), range(0, {factor}) AS r(i)"
