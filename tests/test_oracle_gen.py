@@ -110,3 +110,22 @@ def test_portable_hash_agrees_between_renderer_and_duckdb(spark):
         portable_hash64(F.lit("ACGTAC"), seed=3).alias("h")
     ).first()["h"]
     assert spark_v == expected
+
+
+def test_gate_priority_names_all_exist():
+    """_GATE_PRIORITY entries are filtered with `if k in out`, so a
+    typo silently demotes a weak-evidence query to the back of the
+    sample order — exactly the queries that most need driver coverage.
+    Pin every name to a declared query."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark import queries as q
+
+    declared = set()
+    for mod in q._MODULES:
+        declared |= set(mod.QUERIES)
+    missing = [n for n in q._GATE_PRIORITY if n not in declared]
+    assert not missing, f"_GATE_PRIORITY names not declared: {missing}"
+    # and priority really leads the iteration order
+    ordered = list(q.all_queries())
+    assert ordered[: len(q._GATE_PRIORITY)] == [
+        n for n in q._GATE_PRIORITY if n in declared
+    ]
