@@ -112,6 +112,12 @@ def main() -> None:
             r = holder.get("r") or {"name": name, "ok": False}
             r["ok"] = False
             r["error"] = f"timeout after {timeout}s (interrupted)"
+            # a worker that survived the 60s grace join may still be
+            # using this connection; DuckDB connections are not safe
+            # for concurrent queries, so abandon it and reopen before
+            # the next sweep row (r7 advice)
+            if th.is_alive():
+                con = duckdb_con(sf_dir)
         else:
             r = holder["r"]
         spark.catalog.clearCache()

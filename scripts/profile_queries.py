@@ -1,5 +1,9 @@
 """Ad-hoc per-query profiler: warm each named query, then time N runs
-and report min/median, optionally dumping the formatted plan.
+and report min/median, the declaration-vs-execution split, and the
+number of Spark JOBS the timed run launched (job-group counted via the
+status tracker) — extra jobs beyond the noop write are eager actions
+(counts, localCheckpoints, probe collects) that each pay the
+scheduling floor.
 
     python scripts/profile_queries.py [--plan] [query ...]
 """
@@ -23,6 +27,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_plan = "--plan" in sys.argv
     spark = get_spark(app_name="profile")
+    sc = spark.sparkContext
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     names = args or list(qs)
@@ -30,13 +35,21 @@ def main() -> None:
         fn = qs[name]
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm
-        times = []
-        for _ in range(3):
+        times, decls, jobs = [], [], 0
+        for i in range(3):
+            group = f"prof_{name}_{i}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            d = fn(spark, SF_DIR)
+            t1 = time.perf_counter()
+            d.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+            decls.append(t1 - t0)
+            sc.setJobGroup("prof_idle", "idle")
+            jobs = max(jobs, len(sc.statusTracker().getJobIdsForGroup(group)))
         print(
-            f"{name:32s} min={min(times):7.3f}  med={statistics.median(times):7.3f}",
+            f"{name:32s} min={min(times):7.3f}  med={statistics.median(times):7.3f}"
+            f"  decl={min(decls):6.3f}  jobs={jobs}",
             flush=True,
         )
         if show_plan:

@@ -143,9 +143,11 @@ def winnowing_fingerprints(
     (functions/porthash.py) that DuckDB reproduces bit-identically —
     slower, but it upgrades the declared query from a rows-only check
     to a full value-hash oracle."""
+    from ..sources.tables import scan_num_partitions
+
     sc = docs.sparkSession.sparkContext
     base = docs.where(F.length(text_col) >= k)
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    if scan_num_partitions(docs) < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
     gram = f"substring({text_col}, i, {k})"
     hash_sql = (

@@ -118,6 +118,12 @@ def minhash_signatures(
         # families now cost ~the same since the CW portable form)
         spread=True,
     )
+    # The per-component min aggregates are authored as ONE SQL string
+    # per column (F.expr), not as Column-method chains: each Column op
+    # is a py4j socket roundtrip, and 64 components x ~8 ops cost a
+    # measured ~1.4s of pure declaration-time overhead per invocation
+    # (cProfile: 7,351 roundtrips) — string assembly is free and parses
+    # to the identical expression tree.
     if portable:
         from ..functions.porthash import (
             MINHASH_PRIME,
@@ -129,9 +135,7 @@ def minhash_signatures(
         sh = sh.select(id_col, portable_base_hash("word").alias("_h"))
         mins = sh.groupBy(id_col).agg(
             *[
-                F.min(
-                    (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"_m{i}")
+                F.expr(f"min(({a} * _h + {b}) % {MINHASH_PRIME}) AS _m{i}")
                 for i, (a, b) in enumerate(coeffs)
             ]
         )
@@ -145,15 +149,15 @@ def minhash_signatures(
         F.xxhash64("word", F.lit(1)).alias("_h1"),
         F.xxhash64("word", F.lit(2)).alias("_h2"),
     )
-    def _h(i: int):
+
+    def _h_sql(i: int) -> str:
         rot = 1 + (i % 63)
-        rotl = F.shiftleft(F.col("_h2"), rot).bitwiseOR(
-            F.shiftrightunsigned(F.col("_h2"), 64 - rot)
+        return (
+            f"(_h1 ^ (shiftleft(_h2, {rot}) | shiftrightunsigned(_h2, {64 - rot})))"
         )
-        return F.col("_h1").bitwiseXOR(rotl)
 
     mins = sh.groupBy(id_col).agg(
-        *[F.min(_h(i)).alias(f"_m{i}") for i in range(num_hashes)]
+        *[F.expr(f"min({_h_sql(i)}) AS _m{i}") for i in range(num_hashes)]
     )
     return mins.select(
         id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
@@ -288,11 +292,14 @@ def simhash(
         hashed = toks.select(id_col, portable_hash64("tok").alias("h"))
     else:
         hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    # one F.expr string per bit column (not Column chains): 60-64
+    # aggregates x ~6 py4j roundtrips each is ~0.5s of declaration
+    # overhead in the chained form — see minhash_signatures
     bit_sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"_b{i}")
+            F.expr(
+                f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _b{i}"
+            )
             for i in range(n_bits)
         ]
     )

@@ -86,9 +86,11 @@ def _should_spread(docs: DataFrame) -> tuple[bool, int]:
     scan already yields >= cores partitions and this is a no-op; the rule
     exists for mid-size inputs that arrive as a handful of files.
     """
+    from ..sources.tables import scan_num_partitions
+
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    scan_parts = docs.rdd.getNumPartitions()
+    scan_parts = scan_num_partitions(docs)
     if scan_parts >= target:
         return False, scan_parts
     size = _plan_size_bytes(docs)

@@ -79,18 +79,91 @@ _GATE_PRIORITY = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Declared-plan cache (prepared-statement analog).
+#
+# Declaring a query from Python is pure plan construction — every
+# Column/DataFrame method is a py4j socket roundtrip, measured at
+# 0.07-1.4s per query (40% of the whole sf0.1 bench wall was
+# re-declaration overhead, none of it engine work). A SQL engine parses
+# a statement once and executes the prepared plan repeatedly; this
+# cache is that, for the DataFrame API: the declared (lazy, immutable)
+# frame is memoized per (application, fixture dir, fixture stat
+# fingerprint, query name), and every materialization still executes
+# the FULL physical pipeline — scans, shuffles, UDFs, sinks.
+#
+# Self-auditing purity guard: the first declaration runs inside a job
+# group, and if it launched ANY Spark job (iterative convergence loops,
+# eager localCheckpoints, driver collects, build-once roundtrip writes)
+# the frame is NOT cached — so work that genuinely belongs to the query
+# is re-measured on every invocation, never hidden. Streaming queries
+# (stream_*) are excluded by name as well: their declaration runs the
+# restart-resume drain against the durable checkpoint, which must stay
+# on the clock even when it drains nothing.
+# ---------------------------------------------------------------------------
+
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_DECL_SEQ = [0]  # unique probe job-group per declaration attempt
+
+
+def _fixture_stamp(sf_dir: str) -> tuple:
+    """Cheap immutability stamp for the fixture dir (size + mtime over
+    its entries): a regenerated fixture changes the stamp, so stale
+    plans bound to rewritten derived dirs can never be served."""
+    import os
+
+    try:
+        with os.scandir(sf_dir) as it:
+            stats = [(e.name, e.stat().st_size, e.stat().st_mtime_ns) for e in it]
+        return tuple(sorted(stats))
+    except OSError:
+        return ("<unstattable>",)
+
+
+def _prepared(name: str, fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sc = spark.sparkContext
+        key = (sc.applicationId, sf_dir, _fixture_stamp(sf_dir), name)
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        # group id unique PER ATTEMPT: the status tracker returns every
+        # job ever tagged with a group, so a reused id would make one
+        # cold-path job (e.g. the first footer read) look like an
+        # eager declaration forever
+        _DECL_SEQ[0] += 1
+        group = f"_decl_{name}_{_DECL_SEQ[0]}"
+        prior = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setLocalProperty("spark.jobGroup.id", group)
+        try:
+            df = fn(spark, sf_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", prior)
+        if not name.startswith("stream_") and not sc.statusTracker().getJobIdsForGroup(
+            group
+        ):
+            _PLAN_CACHE[key] = df
+        return df
+
+    wrapped.__name__ = f"prepared_{name}"
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ordered PRIORITY → ORACLED → ROWS-ONLY: the
     never/least-gated names precede everything, then every query with a
     DuckDB oracle precedes the rows-only remainder, so a driver that
     evaluates a bounded prefix of the inventory always covers the
-    weakest-evidence queries and the full value-hash surface first."""
+    weakest-evidence queries and the full value-hash surface first.
+    Each callable is wrapped in the declared-plan cache above."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name!r}")
-            out[name] = fn
+            out[name] = _prepared(name, fn)
     oracled = all_oracles()
     prio = [k for k in _GATE_PRIORITY if k in out]
     rest = [k for k in out if k not in set(prio)]

@@ -746,24 +746,46 @@ def source_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     octet (UTF-8 byte) length, not char length: the zh documents make
     the difference real. Emits (doc_id parsed from the partition path,
     byte count, md5 of the bytes)."""
-    path = _roundtrip_cache_dir(sf_dir, "binfile", "documents")
+    import glob as _glob
+    import shutil
+
+    # layout-versioned kind: pre-r8 trees at the old "binfile" key used
+    # the partitioned layout and must not be read with the flat glob
+    path = _roundtrip_cache_dir(sf_dir, "binfile_flat", "documents")
     if not os.path.exists(os.path.join(path, "_done")):
+        # Build via the partitioned text sink, then FLATTEN to one file
+        # per doc named doc_id=N.txt in a single directory: the
+        # binaryFile reader's file index lists each directory
+        # separately, and 400 one-file partition dirs cost a ~0.8s
+        # recursive-listing pass (above the parallel-discovery
+        # threshold it even launches a listing JOB) at every
+        # declaration; one flat dir is a single list call. The rename
+        # is build-once, byte content identical (text sink newline
+        # included).
+        staging = os.path.join(path, "_staging")
         (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < _BINFILE_DOCS)
             .select("doc_id", F.col("text").alias("value"))
             .write.mode("overwrite")
             .partitionBy("doc_id")
-            .text(path)
+            .text(staging)
         )
-        # the text sink's _SUCCESS lands in the root; mark explicitly so
-        # a partially-written tree is never read
+        for d in _glob.glob(os.path.join(staging, "doc_id=*")):
+            parts = _glob.glob(os.path.join(d, "part-*"))
+            if len(parts) != 1:
+                raise RuntimeError(f"expected one part file in {d}, got {parts}")
+            os.replace(
+                parts[0], os.path.join(path, os.path.basename(d) + ".txt")
+            )
+        shutil.rmtree(staging)
+        # explicit completion marker so a partially-flattened tree is
+        # never read
         with open(os.path.join(path, "_done"), "w") as fh:
             fh.write("ok")
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "part-*")
-        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "doc_id=*.txt")
         .load(path)
     )
     return df.select(

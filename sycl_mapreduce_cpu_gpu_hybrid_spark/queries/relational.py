@@ -167,7 +167,10 @@ def agg_median(
         import os as _os
 
         path = _os.path.join(sf_dir, "lineitem.parquet")
-        if _os.path.exists(path):
+        if _os.path.isfile(path):
+            # isfile, not exists: a directory-shaped multi-file table
+            # (a layout fingerprint_cache_dir supports) would make
+            # read_metadata raise instead of falling through (r7 advice)
             import pyarrow.parquet as _pq
 
             _MEDIAN_PROBE_CACHE[sf_dir] = _pq.read_metadata(path).num_rows
@@ -1412,10 +1415,12 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable (the textbook distributed-moments shape: partial power
     sums merge associatively, unlike a naive two-pass mean/deviation
     plan). var_e2 = ((n·Σx² − (Σx)²) · 100) DIV n² stays inside int64
-    up to n ≈ 2e6 per group at these magnitudes (bound documented;
-    DuckDB's HUGEINT intermediates make its side exact regardless,
-    and the result columns are cast to BIGINT per the fetch-stability
-    rule)."""
+    up to n ≈ 2e6 per group at these magnitudes (DuckDB's HUGEINT
+    intermediates make its side exact regardless, and the result
+    columns are cast to BIGINT per the fetch-stability rule). The
+    bound is ASSERTED at runtime (r7 advice): a group large enough to
+    overflow the n·Σx² intermediate raises loudly instead of silently
+    diverging from the oracle on a wrapped value."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
     )
@@ -1425,7 +1430,16 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
         F.sum(F.col("x") * F.col("x") * F.col("x")).cast("bigint").alias("sum_x3"),
     )
-    return agg.select(
+    # overflow guard in DOUBLE arithmetic (can't itself overflow):
+    # assert_true raises per-group if the *100 intermediate would leave
+    # int64; the filter is IS NULL-shaped because assert_true returns
+    # NULL on success
+    guard = (
+        "assert_true(greatest(1.0 * n * sum_x2, 1.0 * sum_x * sum_x) * 100"
+        " < 9.0e18, 'agg_stats_moments: var_e2 int64 overflow — group too"
+        " large for exact e2 variance; use a DOUBLE/decimal variant')"
+    )
+    return agg.where(F.expr(guard).isNull()).select(
         "l_returnflag",
         "n",
         "sum_x",

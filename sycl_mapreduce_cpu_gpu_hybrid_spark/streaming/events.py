@@ -130,6 +130,61 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _n_committed(checkpoint: str) -> int:
+    """Number of micro-batches durably committed at ``checkpoint`` —
+    the engine's own offset ledger (one all-digit file per committed
+    batch under commits/). Local-FS probe, same assumption as
+    fingerprint_cache_dir."""
+    import os
+
+    d = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(d):
+        return 0
+    return sum(1 for p in os.listdir(d) if p.isdigit())
+
+
+def _drain_complete_to_parquet(result: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain a complete-mode aggregation through foreachBatch into ONE
+    parquet dir (each batch overwrites with the full current result —
+    idempotent under redelivery, so at-least-once becomes exactly-once;
+    the last committed batch is the complete aggregate of the whole
+    backlog). A re-run against a complete checkpoint drains nothing and
+    leaves the durable result in place — restart-resume reuse, the same
+    contract as stream_to_parquet's append sinks."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _drain_update_to_parquet(result: DataFrame, out_base: str, checkpoint: str) -> None:
+    """Drain an update-mode stream through foreachBatch into
+    batch-keyed parquet subdirs (b0, b1, ...): redelivery of a batch
+    overwrites its own subdir, never duplicates — the idempotence rule
+    foreachBatch requires. Readers glob ``{out_base}/b*``. Re-runs
+    against a complete checkpoint drain nothing."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_base}/b{batch_id}")
+
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_tumbling_to_table(
     spark: SparkSession,
     sf_dir: str,
@@ -166,7 +221,18 @@ def stream_tumbling_to_table(
     (``spark.newSession()`` — shared SparkContext, isolated SQLConf),
     so batch queries running concurrently on the caller's session
     never observe the streaming conf; the returned DataFrame is bound
-    to the clone (same JVM data, collectable anywhere)."""
+    to the clone (same JVM data, collectable anywhere).
+
+    The sink is DURABLE (foreachBatch complete-overwrite parquet +
+    checkpoint, keyed on the fixture fingerprint and the variant name):
+    a re-run against an unchanged fixture resumes a complete
+    checkpoint, drains nothing, and reads the persisted result back —
+    restart-resume exactly-once, the r7 pattern the append-mode
+    streaming queries already use. Single-process use per keyed tree
+    (local-FS markers, no cross-process locking)."""
+    from ..sources.tables import fingerprint_cache_dir
+
+    base = fingerprint_cache_dir(sf_dir, f"stream_tumbling_{name}", "events")
     scoped = spark.newSession()
     src = stream_events(scoped, sf_dir)
     watermark: str | None = "2 hours"
@@ -182,8 +248,8 @@ def stream_tumbling_to_table(
         scoped.conf.set(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
         )
-    run_available_now(result, name, mode="complete")
-    return scoped.table(name)
+    _drain_complete_to_parquet(result, f"{base}/state", f"{base}/ckpt")
+    return scoped.read.parquet(f"{base}/state")
 
 
 def stream_sliding_to_table(
@@ -191,14 +257,18 @@ def stream_sliding_to_table(
 ) -> DataFrame:
     """Sliding-window averages through the streaming engine (file
     source -> watermark -> 2h/1h sliding windows -> availableNow drain
-    into a memory table). Same session-scoping discipline as
+    into a durable complete-overwrite parquet sink). Same
+    session-scoping and restart-resume discipline as
     stream_tumbling_to_table."""
+    from ..sources.tables import fingerprint_cache_dir
+
+    base = fingerprint_cache_dir(sf_dir, "stream_sliding", "events")
     scoped = spark.newSession()
     src = stream_events(scoped, sf_dir)
     result = sliding_avg(src)
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    run_available_now(result, name, mode="complete")
-    return scoped.table(name).select("win_start", "n", "sum_value")
+    _drain_complete_to_parquet(result, f"{base}/state", f"{base}/ckpt")
+    return scoped.read.parquet(f"{base}/state").select("win_start", "n", "sum_value")
 
 
 def stream_running_max_to_table(
@@ -209,14 +279,21 @@ def stream_running_max_to_table(
     both state fields are monotone (count accumulates, max never
     decreases), so the final per-key state is recovered batching-
     independently with a max over the emitted rows — the query is
-    deterministic whether the backlog replays as 1 micro-batch or 50."""
+    deterministic whether the backlog replays as 1 micro-batch or 50.
+    The emitted rows land in a durable batch-keyed parquet sink
+    (foreachBatch, idempotent on batch id) so re-runs against an
+    unchanged fixture resume the complete checkpoint and just read the
+    sink back — restart-resume, same as the other durable drains."""
+    from ..sources.tables import fingerprint_cache_dir
+
+    base = fingerprint_cache_dir(sf_dir, "stream_rmax", "events")
     scoped = spark.newSession()
     src = stream_events(scoped, sf_dir)
     result = stateful_running_max(src)
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    run_available_now(result, name, mode="update")
+    _drain_update_to_parquet(result, f"{base}/sink", f"{base}/ckpt")
     return (
-        scoped.table(name)
+        scoped.read.parquet(f"{base}/sink/b*")
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -460,12 +537,35 @@ def stream_rate_source_to_parquet(
     ``format("kafka")`` (sources/connectors.py:read_kafka_stream)
     changes the source admission only, not the state/commit path.
     Kafka itself is descoped (no broker exists in this environment or
-    the reference's — SURVEY §2.1)."""
+    the reference's — SURVEY §2.1).
+
+    The restart LOOP is driven by the checkpoint's own commit ledger,
+    not a fixed iteration count: each pass starts a query that resumes
+    from the committed offset and commits exactly one more batch, until
+    ``n_batches`` are durably committed. A completed tree (kept under a
+    parameter-keyed temp dir) is therefore reused READ-ONLY by later
+    calls — the result is always exactly values
+    [0, n_batches * rows_per_batch), whether this call performed all
+    the restarts, some of them (crash recovery), or none (re-run).
+    Single-process use per keyed tree, like the other durable sinks."""
+    import os
     import tempfile
 
-    base = base_dir or tempfile.mkdtemp(prefix="smrgh_rate_")
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(),
+        "smrgh_roundtrip",
+        f"rate_{rows_per_batch}x{n_batches}",
+    )
     scoped = spark.newSession()
-    for _ in range(n_batches):
+    ckpt = f"{base}/ckpt"
+    attempts = 0
+    while _n_committed(ckpt) < n_batches:
+        attempts += 1
+        if attempts > 2 * n_batches + 2:
+            raise RuntimeError(
+                f"rate source made no commit progress at {ckpt} "
+                f"({_n_committed(ckpt)}/{n_batches} after {attempts} starts)"
+            )
         src = (
             scoped.readStream.format("rate-micro-batch")
             .option("rowsPerBatch", str(rows_per_batch))
@@ -474,7 +574,7 @@ def stream_rate_source_to_parquet(
             .load()
         )
         stream_to_parquet(
-            src.select("value"), f"{base}/data", f"{base}/ckpt"
+            src.select("value"), f"{base}/data", ckpt
         )
     return scoped.read.parquet(f"{base}/data")
 
@@ -607,11 +707,26 @@ def stream_dedup_to_table(
     base = base_dir or fingerprint_cache_dir(sf_dir, "stream_dedup", "events")
     feed = f"{base}/feed"
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+    # the feed is a TWO-step write (base copy + duplicate slice), and
+    # the overwrite's own _SUCCESS lands after step one — guard on a
+    # separate sentinel written only after the append, so a crash
+    # between the steps can never leave a duplicate-free feed that
+    # silently turns the dedup gate into a no-op (r7 advice)
+    done = os.path.join(base, "_feed_complete")
+    if not os.path.exists(done):
+        # wipe the whole keyed tree first: a half-built feed may already
+        # be covered by the checkpoint's file-source log, and rewriting
+        # feed files under a live checkpoint would re-ingest them as new
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
         ev = load_table(spark, sf_dir, "events").select(*cols)
         ev.coalesce(2).write.mode("overwrite").parquet(feed)
         dup = ev.where(F.col("event_id") % 3 == 0)
         dup.coalesce(1).write.mode("append").parquet(feed)
+        with open(done, "w") as fh:
+            fh.write("ok")
 
     scoped = spark.newSession()
     schema = scoped.read.parquet(feed).schema
