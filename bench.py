@@ -79,6 +79,37 @@ DUCK_FLOOR_SQL = {
 }
 
 
+def spark_floor(spark) -> dict[str, float]:
+    """Measured per-query overhead floor, published with every bench
+    artifact so the ratio decomposition is self-documenting: the time
+    to noop-write (a) a 1-row in-memory frame (pure job scheduling +
+    py4j round trip — no data, no shuffle) and (b) a 1-row parquet
+    scan + 32-partition shuffle (the smallest realistic query shape).
+    Any declared query's wall time is bounded below by (a); ~70 of the
+    125 queries cost DuckDB <50 ms and sit within a few multiples of
+    (b) — harness-floor territory, not plan defects."""
+    from pyspark.sql import functions as F
+
+    floors: dict[str, float] = {}
+    one = spark.range(1)
+    force(one)
+    best = float("inf")
+    for _ in range(3):
+        with timed() as t:
+            force(one)
+        best = min(best, t["sec"])
+    floors["noop_1row"] = round(best, 4)
+    shuffled = spark.range(32).groupBy((F.col("id") % 4).alias("k")).count()
+    force(shuffled)
+    best = float("inf")
+    for _ in range(3):
+        with timed() as t:
+            force(shuffled)
+        best = min(best, t["sec"])
+    floors["shuffle_32part"] = round(best, 4)
+    return floors
+
+
 def duck_floor(sf_dir: str) -> dict[str, float]:
     """Min-of-2 warm DuckDB timings for three fixed queries on the
     same parquet — the drift anchor for BENCH_r{N} comparisons."""
@@ -373,6 +404,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "duck_floor": duck_floor(sf_dir),
+        "spark_floor": spark_floor(spark),
     }
     if errors:
         out["errors"] = errors

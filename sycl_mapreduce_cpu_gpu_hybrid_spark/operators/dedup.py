@@ -560,11 +560,13 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # vertices is consumed ONCE (the final labeling join) and reads the
+    # already-checkpointed edges — lazy is fine; checkpointing it here
+    # would pay an extra materialization job per invocation
     vertices = (
         edges.select(F.col("hi").alias("id"))
         .union(edges.select(F.col("lo").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     rounds = 0
     converged = edges.isEmpty()
@@ -597,10 +599,13 @@ def _connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint probe: stop at the first differing edge, either side
-        changed = (
+        # fixpoint probe: both sides are DISTINCT sets, so ss == edges
+        # iff |ss| == |edges| and ss \ edges is empty. Counts over the
+        # just-checkpointed RDDs are one cheap job each; the anti-join
+        # runs only when the counts tie (typically just the final
+        # round) — one probe job per round instead of two.
+        changed = ss.count() != edges.count() or (
             ss.join(edges, ["hi", "lo"], "left_anti").limit(1).isEmpty() is False
-            or edges.join(ss, ["hi", "lo"], "left_anti").limit(1).isEmpty() is False
         )
         edges = ss
         converged = not changed

@@ -100,6 +100,131 @@ def kmeans_fixedpoint(
     )
 
 
+def kmeans_fixedpoint_arrow(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`kmeans_fixedpoint` re-planned as an Arrow-batched matmul
+    Lloyd step — bit-identical output (equality pytest-pinned), same
+    DuckDB oracle, and no per-element join/window machinery:
+
+    - each vector stays ONE row (quantized bigint array), never the
+      n·d long form;
+    - assignment is an integer numpy matmul inside mapInPandas
+      (|q|² − 2 q·Cᵀ + |c|² — pure int64 arithmetic, exact; bounds:
+      |q| ≤ 1e6 ⇒ q·c ≤ d·1e12, far inside int64), argmin ties break
+      to the smallest cid because centroid columns are sorted by cid;
+    - the per-iteration update ships only k·d partial sums per BATCH
+      (cid, dim, Σq, n) through one tiny shuffle, then the truncating
+      integer mean ``Σq DIV n`` — identical to the long form's;
+    - centroids are COLLECTED between iterations (k·d values — the
+      driver-coordinated loop every production Lloyd runs, cf. MLlib),
+      so the k·d matrix broadcasts into the next pass's closure.
+
+    The relational long form stays as the oracle-shaped twin; this is
+    the production path (the same split as IVF ANN's float Lloyd)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+    )
+    emb_q = emb.select(F.col(id_col).alias("vec_id"), q.alias("qvec")).persist()
+
+    seed_rows = sorted(
+        emb_q.where(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
+    )
+    cids = [int(r["vec_id"]) for r in seed_rows]
+    C = np.array([r["qvec"] for r in seed_rows], dtype=np.int64)
+
+    def partials(cids: list[int], C: np.ndarray):
+        cn = (C * C).sum(axis=1)
+
+        def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf["qvec"]), dtype=np.int64)
+                d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn[None, :]
+                a = d2.argmin(axis=1)  # first min — smallest cid wins ties
+                out = []
+                for j, cid in enumerate(cids):
+                    m = a == j
+                    if not m.any():
+                        continue
+                    s = V[m].sum(axis=0)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cid": cid,
+                                "dim": np.arange(1, V.shape[1] + 1),
+                                "s": s,
+                                "n": int(m.sum()),
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out)
+
+        return f
+
+    for _ in range(iters):
+        newc = (
+            emb_q.mapInPandas(partials(cids, C), schema="cid int, dim int, s long, n long")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(s) DIV sum(n)").alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, c))),"
+                    " x -> x.c)"
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        newc = sorted(newc, key=lambda r: r["cid"])
+        cids = [int(r["cid"]) for r in newc]
+        C = np.array([r["cvec"] for r in newc], dtype=np.int64)
+
+    cn = (C * C).sum(axis=1)
+    fin_cids = np.array(cids, dtype=np.int64)
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["qvec"]), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn[None, :]
+            a = d2.argmin(axis=1)
+            dist = d2[np.arange(len(a)), a]
+            yield pd.DataFrame(
+                {
+                    "cid": fin_cids[a],
+                    "n_partial": 1,
+                    "dist": dist,
+                    "vec_id": ids,
+                }
+            )
+
+    return (
+        emb_q.mapInPandas(
+            final, schema="cid long, n_partial long, dist long, vec_id long"
+        )
+        .groupBy("cid")
+        .agg(
+            F.sum("n_partial").cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.min("vec_id").alias("min_vec"),
+        )
+    )
+
+
 def kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
     """DuckDB replay of :func:`kmeans_fixedpoint` — identical
     quantization, seeding, tie-break, and truncating integer mean."""

@@ -44,38 +44,54 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # r6's only red rows (hash-FAIL from HUGEINT fetch-path widening,
-    # oracles rewritten r7) — must head the r7 sample to flip green
-    "multimodal_decode_resize",
-    "multimodal_audio_stats",
-    # stale r4 `no_oracle` FAIL ledger rows — r6 added bounded-error
-    # certificates but the driver never re-sampled them
-    "agg_approx_distinct",
+    # r8 rotation (r7 verdict task 8): every declared query has a green
+    # driver row cumulatively, so the prefix now holds the names whose
+    # LATEST evidence is oldest (last green r4-r5, predating the r6/r7
+    # oracle rewrites) — freshest-needed first. Derived from the
+    # CORRECTNESS_r0*.json ledgers; re-derive and rotate each round.
+    "multimodal_features",
+    "udf_kernel_pack",
+    "corpus_curate",
+    "dedup_clusters",
+    "dedup_embedding_pairs",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "similarity_bruteforce_topk",
+    "stream_parquet_sink",
+    "stream_sliding_avg",
+    "stream_tumbling_counts",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_simhash",
+    "text_token_stats",
+    "events_json_extract",
+    "events_sessionization",
+    "events_time_agg",
+    "corpus_split",
+    "window_rank_parts",
+    "setop_pack",
+    "array_pack",
+    "date_map_pack",
+    "math_pack",
+    "string_pack",
+    # r8 structural rewrites whose r7 evidence predates the change —
+    # re-gate under the new plans
+    "embedding_kmeans",
+    "agg_median",
+    "agg_median_approx",
+    "text_tfidf_topterms",
+    "basket_pairs",
+    "graph_triangles",
     "similarity_ivf_topk",
+    "stream_rate_source",
+    "stream_running_max",
+    "source_binaryfile_roundtrip",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    # declared + locally green but never sampled by any driver round
-    "agg_median_approx",
-    "text_repetition",
-    "stream_running_max",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "stream_rate_source",
-    "udtf_top_words",
-    "udtf_top_words_arrow",
-    "multimodal_frame_sample",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    # round-7 additions — zero driver evidence yet — append BELOW this
-    # line as they land, so a bounded sample still covers the 18 above
-    "dedup_editdistance_verify",
-    "corpus_mix_schedule",
-    "embedding_quantize_int8",
-    "events_concurrency",
     "agg_stats_moments",
     "stream_dedup",
-    "relational_unpivot",
 ]
 
 

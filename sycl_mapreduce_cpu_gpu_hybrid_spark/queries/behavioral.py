@@ -304,15 +304,16 @@ def graph_triangles(
     degree 226, no hubs), so the deg lookup buys nothing locally; kept
     as the measured counter-example, equality property-tested in
     tests/test_scale_smoke.py."""
-    # validate BEFORE any DataFrame work: the edge pipeline below
-    # eagerly localCheckpoints, so a late check would pay a full Spark
-    # job just to raise
+    # validate BEFORE any DataFrame work: a late check would build the
+    # whole edge plan just to raise
     if orientation not in ("degree", "id"):
         raise ValueError(f"orientation must be degree|id, got {orientation!r}")
-    from ..sources.tables import fan_out
-
+    # no fan_out before the groupBy: the aggregation shuffles on the
+    # part key anyway (same reasoning as basket_pairs); parallelism for
+    # the wedge expansion comes from the explicit repartition below
     groups = (
-        fan_out(_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(
             F.sort_array(F.array_distinct(F.collect_list("l_suppkey"))).alias(
@@ -323,9 +324,16 @@ def graph_triangles(
     )
     # part-local pair generation (one shuffle on the part key, no
     # self-join — same rewrite as basket_pairs), then distinct; the
-    # edge set is localCheckpointed because five consumers (two wedge
-    # sides, the closure probe, node and edge counts) would otherwise
-    # recompute the whole generation pipeline each
+    # edge set is PERSISTED because five consumers (two wedge sides,
+    # the closure probe, node and edge counts) would otherwise
+    # recompute the whole generation pipeline each. persist (lazy)
+    # rather than localCheckpoint (eager): materialization then
+    # happens inside the measured execution — exactly once, shared by
+    # all consumers — and the declaration stays pure plan construction
+    # (so the prepared-plan cache applies; this is not an iterative
+    # lineage, just a multi-consumer share).
+    from pyspark import StorageLevel
+
     edges = (
         groups.select(
             F.explode(
@@ -338,12 +346,12 @@ def graph_triangles(
         )
         .select(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
         .distinct()
-        # spread BEFORE checkpointing: the edge set is tiny in bytes
+        # spread BEFORE persisting: the edge set is tiny in bytes
         # but each edge fans out to many wedges, and AQE's small-input
         # coalescing would otherwise run the whole wedge expansion in
         # ONE task (measured 4.3s -> 1.9s at sf0.1)
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if orientation == "degree":
         # ordkey = deg * 2^24 + id is a total order (supplier ids are
@@ -572,11 +580,13 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped, canonical p1 < p2 pairs counted, support >= 2 kept. The
     self-join and the distinct are both keyed on l_orderkey, so AQE
     plans one co-partitioned shuffle; pair counting shuffles the pair
-    keys only."""
-    from ..sources.tables import fan_out
-
+    keys only. No fan_out here (r8): the heavy stage is the basket
+    aggregation, which shuffles on the order key anyway — a pre-agg
+    round-robin exchange just moves the raw rows twice (measured
+    1.78s -> 1.24s at sf0.1 removing it)."""
     baskets = (
-        fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(
             F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(

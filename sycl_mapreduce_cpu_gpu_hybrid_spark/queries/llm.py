@@ -1105,9 +1105,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer inertia, bit-identical to the DuckDB replay. The float
     production twin is the mapInPandas Lloyd step inside
     operators/similarity.ivf_topk."""
-    from ..operators.kmeans import kmeans_fixedpoint
+    from ..operators.kmeans import kmeans_fixedpoint_arrow
 
-    return kmeans_fixedpoint(_emb(spark, sf_dir), k=4, iters=2)
+    return kmeans_fixedpoint_arrow(_emb(spark, sf_dir), k=4, iters=2)
 
 
 QUERIES.update(
@@ -1238,11 +1238,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the df/idf aggregation and the score join; without
     # a materialization the tokenize+explode+groupBy lineage executes
     # twice (AQE exchange reuse is 1-of-4 reliable here — the minhash
-    # lesson pinned in tests/test_plans.py), so truncate it once.
+    # lesson pinned in tests/test_plans.py). persist (lazy, shared at
+    # execution) instead of localCheckpoint (eager at declaration): the
+    # tf build stays on the measured clock, once, and the declaration
+    # stays pure so the prepared-plan cache applies.
+    from pyspark import StorageLevel
+
     tf = (
         terms.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))

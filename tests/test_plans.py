@@ -132,12 +132,29 @@ def test_unigram_surprise_corpus_side_broadcast_join(spark, sf_dir):
 
 
 def test_kmeans_centroids_broadcast(spark, sf_dir):
-    # every assignment join carries the k*d centroid table broadcast;
-    # a sort-merge join on the dim index would shuffle the corpus
-    # long-form per iteration
+    # the declared query runs the Arrow matmul Lloyd: assignment is a
+    # closure-broadcast numpy matmul inside MapInPandas — the plan must
+    # carry the Arrow stage and NO join at all (neither broadcast nor
+    # sort-merge: nothing n-sized ever joins the centroid table)
     plan = _plan(spark, sf_dir, "embedding_kmeans")
-    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
+
+    # the relational long-form twin keeps the broadcast-join shape
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmeans import (
+        kmeans_fixedpoint,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    lf_plan = (
+        kmeans_fixedpoint(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in lf_plan, lf_plan
+    assert "SortMergeJoin" not in lf_plan, lf_plan
 
 
 def test_stratified_sample_no_shuffle(spark, sf_dir):

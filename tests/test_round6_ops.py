@@ -134,6 +134,33 @@ def test_kmeans_matches_independent_replication(spark):
         assert got[c] == tuple(want[c]), f"cluster {c}: {got[c]} != {want[c]}"
 
 
+def test_kmeans_arrow_bit_identical_to_long_form(spark):
+    # the Arrow matmul Lloyd (declared path) must reproduce the
+    # relational long form to the last bit — same quantization,
+    # tie-break, truncating mean, empty-cluster drop
+    import random
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.kmeans import (
+        kmeans_fixedpoint_arrow,
+    )
+
+    rng = random.Random(11)
+    vecs = [
+        [rng.uniform(-1.0, 1.0) for _ in range(7)] for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    for k, iters in [(3, 2), (5, 1), (2, 3)]:
+        a = sorted(map(tuple, kmeans_fixedpoint(df, k=k, iters=iters).collect()))
+        b = sorted(
+            map(tuple, kmeans_fixedpoint_arrow(df, k=k, iters=iters).collect())
+        )
+        assert a == b, (k, iters, a, b)
+    spark.catalog.clearCache()
+
+
 def test_kmeans_clusters_separate_blobs(spark):
     # 2 blobs, interleaved so the two seeds (vec_id 0, 1) land in
     # different blobs -> k=2 must split them exactly
