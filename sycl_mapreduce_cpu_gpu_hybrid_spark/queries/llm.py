@@ -1751,19 +1751,29 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle: scan -> project with higher-order array functions, the
     shape that quantizes a 100 TB embedding store scan-locally."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # STAGED projections so maxabs and the quantized array are each
+    # computed ONCE per row: inlining maxabs into the transform lambda
+    # re-evaluates the O(d) array_max per ELEMENT (O(d²)/row — measured
+    # 0.65s vs 0.13s at sf0.1, 5x). CollapseProject keeps the stages
+    # separate because the aliased expressions are non-cheap.
     maxabs = "array_max(transform(embedding, x -> abs(cast(x AS double))))"
-    qarr = (
-        f"transform(embedding, x -> cast(cast(x AS double) * 127.0D"
-        f" / {maxabs} AS bigint))"
-    )
-    return emb.where(F.expr(maxabs) > 0).select(
+    s1 = emb.select("vec_id", "embedding", F.expr(maxabs).alias("_ma"))
+    s2 = s1.where(F.col("_ma") > 0).select(
         "vec_id",
-        F.expr(f"cast({maxabs} * 1000000 AS bigint)").alias("maxabs_e6"),
+        F.expr("cast(_ma * 1000000 AS bigint)").alias("maxabs_e6"),
         F.expr(
-            f"aggregate({qarr}, cast(0 AS bigint), (acc, v) -> acc + v)"
-        ).alias("q_sum"),
+            "transform(embedding, x -> cast(cast(x AS double) * 127.0D"
+            " / _ma AS bigint))"
+        ).alias("_q"),
+    )
+    return s2.select(
+        "vec_id",
+        "maxabs_e6",
+        F.expr("aggregate(_q, cast(0 AS bigint), (acc, v) -> acc + v)").alias(
+            "q_sum"
+        ),
         F.expr(
-            f"aggregate(zip_with({qarr}, sequence(1, size(embedding)),"
+            "aggregate(zip_with(_q, sequence(1, size(_q)),"
             " (q, i) -> q * cast(i AS bigint)),"
             " cast(0 AS bigint), (acc, v) -> acc + v)"
         ).alias("q_checksum"),
