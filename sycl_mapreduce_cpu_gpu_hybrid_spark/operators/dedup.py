@@ -363,11 +363,16 @@ def simhash_near_pairs(
             ).alias("p")
         )
         .select("p.a", "p.b", "p.ha", "p.hb")
+    )
+    # dedup AFTER the hamming filter: the bit_count verify is a cheap
+    # per-row JVM op, so re-scoring the few cross-quarter duplicate
+    # pairs beats shuffling the whole candidate stream just to dedup it
+    # (same rewrite as embedding_lsh_pairs)
+    return (
+        pairs.select("a", "b", hamming64("ha", "hb").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
     )
-    return pairs.select(
-        "a", "b", hamming64("ha", "hb").alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -703,8 +708,6 @@ def embedding_lsh_pairs(
     import pandas as pd
     from collections.abc import Iterator
 
-    from pyspark.sql.pandas.functions import pandas_udf
-
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     r = n_planes // bands
@@ -724,7 +727,15 @@ def embedding_lsh_pairs(
                 )
         return planes_by_dim[d]
 
-    out_schema = f"{id_col} long, bits long"
+    # The projection CARRIES the vector through (one extra Arrow
+    # round-trip of the corpus) so the verify below can score INSIDE
+    # each bucket without ever joining vectors onto the candidate-pair
+    # stream: vectors move once per band membership (``bands`` x corpus
+    # volume — linear in n), instead of twice per candidate pair
+    # (quadratic in bucket occupancy; measured ~700x the corpus volume
+    # at the derived sf1, where 8-bit band buckets hold ~n/256 members
+    # and yield ~7M candidate pairs from 20k vectors).
+    out_schema = f"{id_col} long, bits long, {vec_col} array<float>"
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -737,12 +748,19 @@ def embedding_lsh_pairs(
             packed = np.zeros(len(v), dtype=np.int64)
             for i in range(n_planes):
                 packed |= bits[:, i].astype(np.int64) << i
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bits": packed})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bits": packed,
+                    vec_col: pdf[vec_col],
+                }
+            )
 
     sigs = corpus.select(id_col, vec_col).mapInPandas(project, schema=out_schema)
     band_mask = (1 << r) - 1
     banded = sigs.select(
         id_col,
+        vec_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -751,46 +769,56 @@ def embedding_lsh_pairs(
         ).alias("band_idx", "band_bits"),
     )
     buckets = banded.groupBy("band_idx", "band_bits").agg(
-        F.collect_list(F.col(id_col)).alias("members")
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))).alias(
+            "members"
+        )
     )
-    pair_expr = F.expr(
-        "flatten(transform(ms, (x, i) ->"
-        " transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"
-    )
-    cand = (
+    # In-bucket verify: one numpy gemm per bucket scores every i<j
+    # pair (the cap bounds the m² block at max_bucket²). The kernel
+    # PRE-FILTERS python-side with a loose threshold margin (1e-6 —
+    # far wider than the worst 6-dp rounding bump of 5e-7), so only
+    # near-output rows cross Arrow back to the JVM; the exact HALF_UP
+    # round + threshold + cross-band dedup run Spark-side on the
+    # survivor set (np.round is half-to-even and cannot produce the
+    # hash-bearing value). The repartition spreads bucket rows first:
+    # AQE coalesces the few-KB bucket frame to 1-2 partitions, which
+    # would run every m² expansion in as many tasks (the
+    # graph_triangles wedge lesson).
+    kept = (
         buckets.where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
-        .select(F.sort_array("members").alias("ms"))
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.a", "p.b")
-        .dropDuplicates(["a", "b"])
+        .select("members")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
-    # no annotations: postponed-evaluation strings ('pd.Series') from
-    # `from __future__ import annotations` break pandas_udf inference
-    def _pair_cos_fn(va, vb):
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        a = np.array(list(va), dtype=np.float64)
-        b = np.array(list(vb), dtype=np.float64)
-        na = np.linalg.norm(a, axis=1)
-        nb = np.linalg.norm(b, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        dots = np.einsum("ij,ij->i", a, b)
-        # return the raw cosine: rounding happens Spark-side with
-        # F.round (HALF_UP, matching DuckDB's half-away) — np.round is
-        # round-half-to-even and can flip the 6th decimal on boundary
-        # values, failing the cross-engine value hash
-        return pd.Series(dots / (na * nb))
+    loose = threshold - 1e-6
 
-    pair_cos = pandas_udf(_pair_cos_fn, returnType="double")
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for members in pdf["members"]:
+                ids = np.array([m["i"] for m in members], dtype=np.int64)
+                V = np.array([m["v"] for m in members], dtype=np.float64)
+                order = np.argsort(ids)
+                ids, V = ids[order], V[order]
+                n = np.linalg.norm(V, axis=1)
+                n[n == 0] = 1.0
+                U = V / n[:, None]
+                sims = U @ U.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+                m = sims[iu, ju] >= loose
+                if not m.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "a": ids[iu[m]],
+                        "b": ids[ju[m]],
+                        "sim_raw": sims[iu[m], ju[m]],
+                    }
+                )
 
-    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    scored = kept.mapInPandas(score, schema="a long, b long, sim_raw double")
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", F.round(pair_cos("_va", "_vb"), 6).alias("sim"))
+        scored.select("a", "b", F.round("sim_raw", 6).alias("sim"))
         .where(F.col("sim") >= threshold)
+        .dropDuplicates(["a", "b"])
     )
 
 

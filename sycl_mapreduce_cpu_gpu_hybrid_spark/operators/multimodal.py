@@ -194,6 +194,12 @@ def byte_histogram_features(
     feat_type = "array<double>" if normalize else "array<bigint>"
     out_schema = f"media_id bigint, modality string, features {feat_type}"
 
+    # integer bin width when bins divides 256: histogram(range=(0,256))
+    # bin membership is then exactly byte DIV width, so np.bincount of
+    # the shifted bytes reproduces np.histogram bit-for-bit at ~10x
+    # less per-row overhead (no edge computation / searchsorted)
+    width = 256 // bins if 256 % bins == 0 else None
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -202,7 +208,10 @@ def byte_histogram_features(
                 if arr.size == 0:
                     feats.append([0.0] * bins if normalize else [0] * bins)
                     continue
-                hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+                if width is not None:
+                    hist = np.bincount(arr // width, minlength=bins)
+                else:
+                    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
                 feats.append((hist / arr.size).tolist() if normalize else hist.tolist())
             yield pd.DataFrame(
                 {

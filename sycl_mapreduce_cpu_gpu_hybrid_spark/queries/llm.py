@@ -1544,19 +1544,21 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    wn = Window.partitionBy("w1")
-    wr = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
-    return (
-        c.withColumn("n", F.sum("c").over(wn))
-        .withColumn("rn", F.row_number().over(wr))
-        .where((F.col("rn") == 1) & (F.col("n") >= _LM_MIN_CONTEXT))
-        .select(
-            "w1",
-            F.col("w2").alias("next_word"),
-            F.col("c").cast("bigint").alias("c"),
-            F.col("n").cast("bigint").alias("n"),
-            F.expr("(c * 10000) DIV n").cast("bigint").alias("p_e4"),
-        )
+    # per-context total + argmax in ONE hash aggregation instead of two
+    # sort-windows over the counts frame: min(struct(-c, w2)) is the
+    # (highest count, then lexicographically smallest continuation)
+    # argmax — struct comparison is lexicographic, so the tie-break is
+    # identical to the previous ORDER BY c DESC, w2 ASC
+    g = c.groupBy("w1").agg(
+        F.sum("c").alias("n"),
+        F.min(F.struct((-F.col("c")).alias("negc"), F.col("w2"))).alias("_best"),
+    )
+    return g.where(F.col("n") >= _LM_MIN_CONTEXT).select(
+        "w1",
+        F.col("_best.w2").alias("next_word"),
+        (-F.col("_best.negc")).cast("bigint").alias("c"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("((-_best.negc) * 10000) DIV n").cast("bigint").alias("p_e4"),
     )
 
 
