@@ -498,6 +498,59 @@ def ngram_jaccard_pairs(
     )
 
 
+# Edge-count ceiling for the driver-local union-find fast path: 500k
+# canonical edges is a few MB of longs — the same driver-side budget
+# class as similarity.COLLECT_MATRIX_MAX_ROWS. Above it (the real
+# at-scale regime) the distributed star-contraction loop runs instead.
+CC_LOCAL_MAX_EDGES = 500_000
+
+
+def _cc_local(edges: DataFrame, n_probe: int) -> DataFrame | None:
+    """Bounded small-graph fast path: if the CONTRACTED canonical edge
+    set fits the driver budget, collect it and run union-find with
+    min-label roots — semantically identical to the star-contraction
+    fixpoint (both label every vertex with its component minimum), at
+    microseconds instead of one Spark job per half-round. Returns
+    None above the ceiling so the caller falls through to the
+    distributed loop. This mirrors what every single-node engine does
+    and what a cluster job does after LSH contraction has shrunk the
+    duplicate graph by orders of magnitude; it is NOT a replacement
+    for the distributed path, which stays property-tested and kicks in
+    past the ceiling."""
+    # count-first probe (edges is localCheckpointed — one cheap
+    # cached-RDD job) so an over-ceiling graph never transfers rows
+    # just to be rejected
+    if edges.count() > n_probe:
+        return None
+    pdf = edges.toPandas()  # Arrow columnar transfer
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for hi, lo in zip(pdf["hi"].to_numpy(), pdf["lo"].to_numpy()):
+        hi, lo = int(hi), int(lo)
+        for v in (hi, lo):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(hi), find(lo)
+        if ra != rb:
+            # union by MIN id so every root is its component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(v, find(v)) for v in parent]
+    return edges.sparkSession.createDataFrame(
+        out, "id long, cluster_id long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -552,9 +605,12 @@ def _connected_components_star(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 25,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
 ) -> tuple[DataFrame, int]:
     """connected_components body; also returns the round count so the
-    O(log n) bound is testable."""
+    O(log n) bound is testable (0 when the bounded local fast path
+    answered — pass ``local_max_edges=0`` to force the distributed
+    loop)."""
     # canonical undirected edge set: (hi, lo) with hi > lo
     edges = (
         pairs.select(
@@ -565,6 +621,10 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    if local_max_edges > 0:
+        local = _cc_local(edges, local_max_edges)
+        if local is not None:
+            return local, 0
     # vertices is consumed ONCE (the final labeling join) and reads the
     # already-checkpointed edges — lazy is fine; checkpointing it here
     # would pay an extra materialization job per invocation

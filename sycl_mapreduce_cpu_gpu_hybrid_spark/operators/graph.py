@@ -34,9 +34,64 @@ from pyspark.sql import functions as F
 
 RANK_SCALE = 1_000_000_000_000  # 1e12
 
+# Edge ceiling for the driver-local fast path — same bounded-budget
+# class as dedup.CC_LOCAL_MAX_EDGES / similarity's collect ceiling:
+# 2M edges is ~32 MB of longs via Arrow, the top of a sane broadcast
+# build side.
+PR_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _pagerank_local(
+    ed: DataFrame, iters: int, damping_pct: int, n_probe: int
+) -> DataFrame | None:
+    """Bounded small-graph fast path: the fixed-point iteration is
+    EXACT integer arithmetic (truncating divisions, associative sums),
+    so a driver-side numpy replay is bit-identical to the distributed
+    loop — and to the DuckDB oracle — at microseconds per round
+    instead of one shuffle. limit(n+1)-bounded collect; None above the
+    ceiling (the distributed loop is the at-scale path)."""
+    import numpy as np
+
+    # count-first probe: ``ed`` is localCheckpointed, so the count is
+    # one cheap cached-RDD job — a limit(n+1).collect() probe would
+    # transfer up to the whole ceiling just to discover the graph is
+    # too big and throw it away
+    if ed.count() > n_probe:
+        return None
+    pdf = ed.toPandas()  # Arrow columnar transfer — no per-Row objects
+    if not len(pdf):
+        return ed.sparkSession.createDataFrame([], "node_id long, rank_e12 long")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    safe_deg = np.where(deg == 0, 1, deg)  # deg-0 nodes are never srcs
+    rank = np.full(len(nodes), RANK_SCALE, dtype=np.int64)
+    base = (100 - damping_pct) * RANK_SCALE // 100
+    d = damping_pct
+    for _ in range(iters):
+        contrib = rank[si] // safe_deg[si]
+        flow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(flow, di, contrib)
+        if int(flow.max(initial=0)) > (2**63 - 1) // d:
+            # keep exactness past int64 on the d*flow intermediate
+            rank = np.array(
+                [base + (d * int(f)) // 100 for f in flow], dtype=np.int64
+            )
+        else:
+            rank = base + (d * flow) // 100
+    import pandas as pd
+
+    out = pd.DataFrame({"node_id": nodes, "rank_e12": rank.astype(np.int64)})
+    return ed.sparkSession.createDataFrame(out, "node_id long, rank_e12 long")
+
 
 def pagerank_fixedpoint(
-    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    local_max_edges: int = PR_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """PageRank over DIRECTED ``edges(src, dst)`` (undirected graphs:
     pass the union of both directions). Returns (node_id, rank_e12)
@@ -57,6 +112,10 @@ def pagerank_fixedpoint(
     # at sf0.1 (2.72s -> 2.40s full query) and structurally one less
     # |E|-sized shuffle at any scale.
     ed = edges.localCheckpoint()
+    if local_max_edges > 0:
+        local = _pagerank_local(ed, iters, damping_pct, local_max_edges)
+        if local is not None:
+            return local
     # one aggregation yields BOTH the node universe and out-degrees:
     # dst-only nodes get deg=0 (never probed — the contribution join
     # keys on src, and every src has deg >= 1 by construction)

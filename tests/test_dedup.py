@@ -188,8 +188,12 @@ def test_connected_components_logn_on_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n_edges)], "a long, b long"
     )
-    labels, rounds = _connected_components_star(pairs)
+    # local_max_edges=0 forces the DISTRIBUTED loop — the point of the
+    # test; the bounded local fast path is covered by
+    # test_cc_local_fast_path_matches_distributed
+    labels, rounds = _connected_components_star(pairs, local_max_edges=0)
     bound = math.ceil(math.log2(n_edges + 1)) + 3
+    assert rounds > 0, "distributed loop should have run"
     assert rounds <= bound, f"{rounds} rounds > log-bound {bound}"
     assert labels.where("cluster_id != 0").isEmpty()
     assert labels.count() == n_edges + 1
@@ -204,9 +208,37 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components,
     )
 
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        _connected_components_star,
+    )
+
     pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=1)
+        # force the distributed loop (the local fast path would answer
+        # this tiny chain without iterating)
+        _connected_components_star(pairs, max_iters=1, local_max_edges=0)
+    # keep the public-API surface exercised
+    assert connected_components(pairs).count() == 65
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The bounded union-find fast path must label identically to the
+    distributed star contraction on the same graph."""
+    import random
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        _connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    local, r_local = _connected_components_star(pairs)
+    dist, r_dist = _connected_components_star(pairs, local_max_edges=0)
+    assert r_local == 0 and r_dist > 0
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
 
 
 def test_connected_components_empty(spark):

@@ -265,6 +265,30 @@ def test_pagerank_star_graph(spark):
     assert abs(sum(ranks.values()) - 9 * RANK_SCALE) < 9 * RANK_SCALE * 0.01
 
 
+def test_pagerank_local_fast_path_matches_distributed(spark):
+    """The bounded driver-local replay must be bit-identical to the
+    distributed fixed-point loop (exact integer arithmetic both ways)."""
+    import random
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    rng = random.Random(29)
+    und = {(rng.randrange(60), rng.randrange(60)) for _ in range(150)}
+    und = {(a, b) for a, b in und if a != b}
+    e = list(und) + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    local = sorted(map(tuple, pagerank_fixedpoint(edges, iters=3).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(edges, iters=3, local_max_edges=0).collect(),
+        )
+    )
+    assert local == dist
+
+
 def test_pagerank_matches_python_replication(spark):
     """Bit-exact against an independent pure-python fixed-point
     replication on a small random graph."""
