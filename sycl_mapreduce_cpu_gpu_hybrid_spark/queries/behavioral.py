@@ -279,7 +279,10 @@ _TRI_PART_CAP = 20  # drop hub parts: a part with d suppliers yields
 
 
 def graph_triangles(
-    spark: SparkSession, sf_dir: str, orientation: str = "degree"
+    spark: SparkSession,
+    sf_dir: str,
+    orientation: str = "degree",
+    local_max_nodes: int = 2048,
 ) -> DataFrame:
     """Triangle count over the supplier co-supply graph (suppliers
     adjacent iff they supply a common part). The LLM-pipeline use is
@@ -388,6 +391,53 @@ def graph_triangles(
         )
     else:
         raise ValueError(f"orientation must be degree|id, got {orientation!r}")
+    # Bounded dense local path (the CC/PageRank cost-based-local
+    # pattern): when the VERTEX universe fits a dense adjacency matrix
+    # (suppliers here — dimension tables are small universes), triangle
+    # count = sum((A @ A) * A) / 6 — one BLAS gemm, exact in float32
+    # entries (counts <= n <= ceiling << 2^24) with a float64 reduction.
+    # The probe is count-first on the persisted edge frame; the
+    # distributed degree-oriented wedge join below is the at-scale path
+    # (the derived sf1's 10k-supplier graph exceeds the ceiling and
+    # stays distributed).
+    if local_max_nodes > 0:
+        # vertex-universe probe with ZERO Spark jobs: the co-supply
+        # graph's nodes are suppliers, so the supplier table's parquet
+        # footer row count (memoized, like agg_median's probe) bounds
+        # the node count; falls back to a Spark-side distinct count
+        # when the dimension isn't a local parquet file
+        import os as _os
+
+        supp = _os.path.join(sf_dir, "supplier.parquet")
+        if _os.path.isfile(supp):
+            import pyarrow.parquet as _pq
+
+            n_node_bound = _pq.read_metadata(supp).num_rows
+        else:
+            n_node_bound = (
+                edges.select(F.col("s1").alias("v"))
+                .union(edges.select(F.col("s2").alias("v")))
+                .distinct()
+                .count()
+            )
+        if n_node_bound <= local_max_nodes:
+            import numpy as np
+
+            n_edge_count = edges.count()
+            pdf = edges.toPandas()
+            s1 = pdf["s1"].to_numpy(dtype=np.int64)
+            s2 = pdf["s2"].to_numpy(dtype=np.int64)
+            nodes, inv = np.unique(np.concatenate([s1, s2]), return_inverse=True)
+            i, j = inv[: len(s1)], inv[len(s1):]
+            A = np.zeros((len(nodes), len(nodes)), dtype=np.float32)
+            A[i, j] = 1.0
+            A[j, i] = 1.0
+            tri = int(round(float(np.sum((A @ A) * A, dtype=np.float64)) / 6.0))
+            return spark.createDataFrame(
+                [(int(len(nodes)), int(n_edge_count), tri)],
+                "n_nodes long, n_edges long, n_triangles long",
+            )
+
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(
         o2,

@@ -190,7 +190,16 @@ def test_triangle_orientation_invariance(spark, sf_dir):
         graph_triangles,
     )
 
-    by_id = graph_triangles(spark, sf_dir, orientation="id").collect()
-    by_deg = graph_triangles(spark, sf_dir, orientation="degree").collect()
+    # force the DISTRIBUTED wedge-closure for both orientations (the
+    # point of the equality property), then assert the bounded dense
+    # local path agrees with it
+    by_id = graph_triangles(
+        spark, sf_dir, orientation="id", local_max_nodes=0
+    ).collect()
+    by_deg = graph_triangles(
+        spark, sf_dir, orientation="degree", local_max_nodes=0
+    ).collect()
     assert by_id == by_deg
     assert by_id[0].n_triangles > 0
+    local = graph_triangles(spark, sf_dir).collect()
+    assert local == by_deg
