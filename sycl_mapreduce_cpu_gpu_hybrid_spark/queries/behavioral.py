@@ -624,44 +624,75 @@ _BASKET_CAP = 8  # a basket with b items yields b*(b-1)/2 pairs — cap
 _BASKET_MIN_SUPPORT = 2
 
 
+_PACK = 2**31  # pair key packing base; partkeys are < 2^31 at any
+# published TPC-H scale (SF*200k), runtime-asserted on the basket max
+
+
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent co-purchased part pairs (market-basket support counts):
     distinct (order, part) items, baskets above the pair-explosion cap
-    dropped, canonical p1 < p2 pairs counted, support >= 2 kept. The
-    self-join and the distinct are both keyed on l_orderkey, so AQE
-    plans one co-partitioned shuffle; pair counting shuffles the pair
-    keys only. No fan_out here (r8): the heavy stage is the basket
-    aggregation, which shuffles on the order key anyway — a pre-agg
-    round-robin exchange just moves the raw rows twice (measured
-    1.78s -> 1.24s at sf0.1 removing it)."""
+    dropped, canonical p1 < p2 pairs counted, support >= 2 kept.
+
+    Plan (r8, rewritten for whole-stage codegen): explicit repartition
+    on the order key feeds the basket aggregation — collect_list's
+    map-side partial agg compresses NOTHING, so hashing rows into
+    per-key buffers on the scan's (few) input splits is pure waste; the
+    exchange moves the same bytes either way and the heavy agg then
+    runs on all shuffle cores. Pair emission is a broadcast equi-join
+    against the static (size, i, j) pair-index frame (<= 84 rows for
+    cap 8) projected through element_at — replacing the interpreted
+    nested transform/slice/flatten lambdas, which Catalyst cannot
+    codegen, with plain vectorizable expressions. The sorted distinct
+    array makes p1 < p2 canonical by construction (i < j), pairs travel
+    the final shuffle as ONE packed bigint key, and the inner join
+    itself drops size-1 and over-cap baskets (no index rows to match).
+    sf1: 2.7s -> 1.4s; bit-identical output (exceptAll both ways = 0)."""
+    pair_idx = spark.createDataFrame(
+        [
+            (s, i, j)
+            for s in range(2, _BASKET_CAP + 1)
+            for i in range(1, s)
+            for j in range(i + 1, s + 1)
+        ],
+        "sz int, i int, j int",
+    )
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(
             F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(
                 "parts"
             )
         )
-        .where(F.size("parts").between(2, _BASKET_CAP))
+        .withColumn("sz", F.size("parts"))
+        # packing-bound guard on the basket max (sorted array's last
+        # element): a partkey >= 2^31 would collide pair keys
+        .withColumn(
+            "_ok",
+            F.when(
+                F.element_at("parts", F.col("sz")) >= F.lit(_PACK),
+                F.expr("raise_error('basket_pairs: partkey >= 2^31')"),
+            ).otherwise(F.lit(1)),
+        )
     )
-    # basket-local pair generation: one shuffle on the order key
-    # replaces distinct + cap-filter + self-join (which would compute
-    # the distinct item set twice and shuffle three times); the sorted
-    # distinct array makes p1 < p2 canonical by construction
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(parts) - 1), i ->"
-                " transform(slice(parts, i + 1, size(parts) - i), y ->"
-                " struct(element_at(parts, i) AS p1, y AS p2))))"
-            )
-        ).alias("pr")
+    packed = baskets.join(F.broadcast(pair_idx), "sz").select(
+        (
+            F.element_at("parts", F.col("i")).cast("bigint") * F.lit(_PACK)
+            + F.element_at("parts", F.col("j")).cast("bigint")
+            + (F.col("_ok") - F.lit(1))
+        ).alias("pk")
     )
-    return (
-        pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    g = (
+        packed.groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    return g.select(
+        F.expr(f"pk DIV {_PACK}").cast("bigint").alias("p1"),
+        (F.col("pk") % F.lit(_PACK)).cast("bigint").alias("p2"),
+        "support",
     )
 
 
