@@ -1527,12 +1527,18 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-token-prediction data analysis. Counts shuffle once on
     (w1, w2); the per-context total and argmax are a window over the
     COUNTS frame (vocab-sized, not corpus-sized). Ties break
-    lexicographically so the argmax is deterministic on both engines."""
-    d = _docs(spark, sf_dir)
+    lexicographically so the argmax is deterministic on both engines.
+    fan_out spreads the scan before the per-row tokenize/explode work
+    (documents lands as one split at small SFs — r8: 2.7s -> 1.35s at
+    sf1), floored at 2MB of plan stats so tiny corpora skip the
+    exchange; split on \\s+ directly is one regex pass instead of
+    regexp_replace + literal split (token streams identical — both
+    reduce to splitting on whitespace runs)."""
+    from ..sources.tables import fan_out
+
+    d = fan_out(_docs(spark, sf_dir), min_bytes=2_000_000)
     toks = d.select(
-        F.split(
-            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
-        ).alias("t")
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).where(F.size("t") >= 2)
     pairs = toks.select(
         F.explode(

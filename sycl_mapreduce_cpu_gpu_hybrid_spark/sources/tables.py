@@ -158,7 +158,7 @@ def scan_num_partitions(df: DataFrame) -> int:
     return _PARTS_CACHE[key]
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Round-robin the scan to ``defaultParallelism`` partitions when
     it arrives with fewer — a CPU-parallelism fix for heavy PER-ROW
     expression work (array builds, regex packs, n-gram explodes) on
@@ -168,11 +168,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     before the expensive projection, and is repaid many times over
     (measured: text_repetition 12.1s -> sub-second at sf0.1, which
     arrives as ONE split). Same rule as operators/kmer._should_spread
-    and text.lang_id."""
+    and text.lang_id.
+
+    ``min_bytes``: skip the exchange when Catalyst's plan-size stat is
+    below this floor — for kernels whose per-byte cost is low enough
+    that on tiny inputs the exchange + task overhead exceeds the
+    single-core work it parallelizes (the kmer SPREAD_MIN_CHARS rule,
+    generalized; no job is run to probe)."""
     sc = df.sparkSession.sparkContext
-    if scan_num_partitions(df) < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    if scan_num_partitions(df) >= sc.defaultParallelism:
+        return df
+    if min_bytes > 0:
+        from ..operators.kmer import _plan_size_bytes
+
+        size = _plan_size_bytes(df)
+        if size is not None and size < min_bytes:
+            return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def fingerprint_cache_dir(sf_dir: str, kind: str, table: str) -> str:
