@@ -282,6 +282,14 @@ def simhash(
     oracle can rebuild the fingerprint bit-identically (no sign-bit
     special case — the value stays non-negative)."""
     n_bits = 60 if portable else 64
+    # spread the scan before the explode: every token row feeds
+    # n_bits conditional-sum updates in the map-side partial agg, and
+    # below ~cluster scale the corpus arrives as one split (the
+    # kmer_explode _should_spread rule; minhash gets it for free via
+    # kmer_explode, simhash exploded its own tokens without it)
+    from ..sources.tables import fan_out
+
+    docs = fan_out(docs, min_bytes=1_000_000)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
