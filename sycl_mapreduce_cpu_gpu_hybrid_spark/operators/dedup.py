@@ -300,28 +300,47 @@ def simhash(
         hashed = toks.select(id_col, portable_hash64("tok").alias("h"))
     else:
         hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
-    # one F.expr string per bit column (not Column chains): 60-64
+    # one F.expr string per aggregate column (not Column chains): many
     # aggregates x ~6 py4j roundtrips each is ~0.5s of declaration
-    # overhead in the chained form — see minhash_signatures
+    # overhead in the chained form — see minhash_signatures.
+    #
+    # The +-1 sum for bit i is recovered from plain bit counts plus one
+    # token count: sum(+-1) = 2*sum(bit i) - n, so "sum positive" is
+    # "2*s_i > n". The bit counts themselves are PACKED two per
+    # aggregate buffer — bit i in the low 32 bits, bit i+half in the
+    # high 32 — halving the per-row aggregate-update loop (the hot
+    # path: every token row updates every buffer). Lane overflow needs
+    # a doc of >2^31 tokens (each addend <= 2^32 + 1), far beyond any
+    # real document. Measured at sf1: 1.41s (64 CASE sums) -> 1.09s
+    # (32 packed shift-and sums), bit-identical fingerprints.
+    half = n_bits // 2  # n_bits is 60 or 64, both even
     bit_sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.expr(
-                f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _b{i}"
+                f"sum(((h >> {i}) & 1) + (((h >> {i + half}) & 1) << 32)) AS _p{i}"
             )
-            for i in range(n_bits)
-        ]
+            for i in range(half)
+        ],
     )
-    # assemble the fingerprint: set bit i where the sum is positive.
-    # In the 64-bit form, bit 63 is added as the long's min value to
-    # keep the arithmetic in signed range without overflow surprises.
+    # assemble the fingerprint: set bit i where the +-1 sum is
+    # positive (2*s_i > n). In the 64-bit form, bit 63 is added as the
+    # long's min value to keep the arithmetic in signed range without
+    # overflow surprises.
+    def _lane(i: int) -> str:
+        if i < half:
+            return f"(_p{i} & 4294967295)"
+        return f"((_p{i - half} >> 32) & 4294967295)"
+
     expr = " + ".join(
-        f"(CASE WHEN _b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        f"(CASE WHEN 2 * {_lane(i)} > _n THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
         for i in range(min(n_bits, 63))
     )
     fp = F.expr(expr)
     if n_bits == 64:
         fp = fp + F.expr(
-            "CASE WHEN _b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"
+            f"CASE WHEN 2 * {_lane(63)} > _n"
+            " THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"
         )
     return bit_sums.select(id_col, fp.alias("simhash"))
 

@@ -684,8 +684,15 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("_ok") - F.lit(1))
         ).alias("pk")
     )
+    # repartition BEFORE the count: the pair stream is ~99.7% unique
+    # keys (sf1: 10.7M pairs -> 28.6k with support >= 2), so the
+    # map-side partial agg builds a 10M-entry hash table that
+    # compresses nothing — pure overhead ahead of the same-size
+    # exchange. Hash-partitioning the raw pairs and aggregating once
+    # on the reduce side measured 2.03 -> 1.76s full-pipeline at sf1.
     g = (
-        packed.groupBy("pk")
+        packed.repartition(F.col("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
