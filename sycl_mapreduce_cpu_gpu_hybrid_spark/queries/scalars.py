@@ -19,7 +19,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction (get_json_object) + typed from_json struct
     read of ``props``, aggregated per event type."""
-    e = _t(spark, sf_dir, "events")
+    from ..sources.tables import fan_out
+
+    # JSON parsing is heavy per-row work (two Jackson parses per row)
+    # and sf0.1 events arrives as ONE 2MB split — spread the scan
+    # (the text_repetition/fan_out rule; measured 1.08 -> ~0.2s)
+    e = fan_out(_t(spark, sf_dir, "events"), min_bytes=1_000_000)
     parsed = e.select(
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k_path"),
