@@ -332,6 +332,16 @@ def simhash(
             return f"(_p{i} & 4294967295)"
         return f"((_p{i - half} >> 32) & 4294967295)"
 
+    # lane-overflow guard: evaluated once per DOC row (not per token),
+    # so the cost is nil; wrap would otherwise be silent
+    bit_sums = bit_sums.where(
+        F.expr(
+            "CASE WHEN _n >= 2147483648 THEN"
+            " raise_error('simhash: doc exceeds 2^31 tokens — packed"
+            " bit-sum lanes would overflow') ELSE true END"
+        )
+    )
+
     expr = " + ".join(
         f"(CASE WHEN 2 * {_lane(i)} > _n THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
         for i in range(min(n_bits, 63))
