@@ -152,11 +152,9 @@ def _interp_quantile_sql(arr: str, p: float) -> str:
     the same formula Spark's Percentile aggregate evaluates
     (v[lo+1] + (v[lo+2] - v[lo+1]) * frac at pos = p * (n - 1), double
     arithmetic throughout, so results are bit-identical to
-    F.percentile / F.median). Used instead of those aggregates because
-    their per-group counts-map accumulation measures ~1.7x slower than
-    one array_sort(collect_list(...)) per group at sf0.1 — same
-    buffering class (whole group in memory), same
-    MEDIAN_EXACT_MAX_ROWS escape hatch above."""
+    F.percentile / F.median). Kept for tests/small arrays; the
+    declared queries use _exact_group_quantiles (below), which is the
+    same formula over a DISTRIBUTED value-counts frame."""
     pos = f"({p} * (size({arr}) - 1))"
     lo = f"CAST(floor{pos} AS INT)"
     v_lo = f"element_at({arr}, {lo} + 1)"
@@ -168,16 +166,129 @@ def _interp_quantile_sql(arr: str, p: float) -> str:
     )
 
 
-def agg_median(
-    spark: SparkSession, sf_dir: str, *, exact_max_rows: int = MEDIAN_EXACT_MAX_ROWS
+def _exact_group_quantiles(
+    df: DataFrame, key: str, specs: list[tuple[str, float, str]]
 ) -> DataFrame:
-    """Exact median + interpolated quartile per group (sort-based
-    aggregation buffering each group's values), with a declared
-    at-scale escape hatch: above `exact_max_rows` input rows the plan
-    swaps to percentile_approx (mergeable sketch, bounded memory per
-    group — the correct 100 TB shape for a skewed/huge group).
-    Outputs are plain round(x, 4) doubles (driver-hash-safe)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Exact interpolated quantiles per group WITHOUT buffering group
+    values: one row per ``key`` with a column per (col, p, outname)
+    spec, numerically identical to F.percentile / the sorted-array
+    interpolation (_interp_quantile_sql — same literal arithmetic:
+    pos = p * (n - 1), result = v[lo] + (v[lo+1] - v[lo]) * frac).
+
+    Plan, per measure column: groupBy (key, value) counts — map-side
+    combinable, so the shuffle carries DISTINCT values, not rows —
+    then one cumulative-sum window over each group's sorted distinct
+    values locates the bracketing ranks, and a final tiny aggregate
+    picks them out. Memory and shuffle are bounded by distinct values
+    per group (the same envelope SCALING.md documents for Spark's own
+    Percentile buffer), but nothing ever holds a whole group's ROWS:
+    the r8 sorted-array form collected 6M doubles into ONE task at the
+    derived sf1 (8.0s — O(n log n) serial); this shape measured ~1s,
+    and at 100 TB it is the only exact form that survives. NULL
+    measures are dropped, matching collect_list / Percentile."""
+    # ONE pipeline for every measure: melt (measure_idx, value) rows —
+    # the stack doubles scan rows but the counts agg is map-side
+    # combinable, so the shuffle still carries distinct values only —
+    # then a single cumulative-sum window partitioned by (key, measure)
+    # and a single final aggregate. Per-measure branches each paid the
+    # full stage-floor (counts + window + join) twice over.
+    cols = sorted({c for c, _, _ in specs})
+    midx = {c: i for i, c in enumerate(cols)}
+    stack = ", ".join(f"{i}, CAST({c} AS DOUBLE)" for c, i in midx.items())
+    melted = df.select(
+        key, F.expr(f"stack({len(cols)}, {stack}) AS (_mi, _v)")
+    ).where(F.col("_v").isNotNull())
+    cnts = melted.groupBy(key, "_mi", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_ord = Window.partitionBy(key, "_mi").orderBy("_v")
+    # group totals as a second frame of the SAME Window operator (one
+    # partitioning + sort serves both) — a separate totals agg joined
+    # back would consume the counts frame twice, and Spark re-executes
+    # multi-consumer lineage (the repo's recurring recompute class);
+    # measured 1.89 -> 1.46s at sf0.1
+    marked = cnts.select(
+        key,
+        "_mi",
+        "_v",
+        "_c",
+        F.sum("_c").over(w_ord).alias("_cum"),
+        F.sum("_c")
+        .over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_n"),
+    )
+    aggs = []
+    for col, p, out in specs:
+        mi = midx[col]
+        pos = f"({p} * (_n - 1))"
+        lo = f"CAST(floor{pos} AS BIGINT)"
+        # exactly one distinct-value row brackets each rank:
+        # 0-based rank r lives where cum - c <= r < cum
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN _mi = {mi} AND _cum - _c <= {lo}"
+                f" AND _cum > {lo} THEN _v END) AS _lo_{out}"
+            )
+        )
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN _mi = {mi} AND _cum - _c <= {lo} + 1"
+                f" AND _cum > {lo} + 1 THEN _v END) AS _hi_{out}"
+            )
+        )
+        aggs.append(
+            F.expr(f"max(CASE WHEN _mi = {mi} THEN {pos} END) AS _pos_{out}")
+        )
+    g = marked.groupBy(key).agg(*aggs)
+    return g.select(
+        key,
+        *[
+            F.expr(
+                f"_lo_{out} + (CASE WHEN _pos_{out} > floor(_pos_{out})"
+                f" THEN (_hi_{out} - _lo_{out}) *"
+                f" (_pos_{out} - floor(_pos_{out})) ELSE 0.0 END)"
+            ).alias(out)
+            for _, _, out in specs
+        ],
+    )
+
+
+def _exact_group_quantiles_small(
+    df: DataFrame, key: str, specs: list[tuple[str, float, str]]
+) -> DataFrame:
+    """Small-input exact quantiles: one sorted value array per (group,
+    measure) + _interp_quantile_sql on top. O(group rows) buffered in
+    ONE task per group — only safe under MEDIAN_SMALL_MAX_ROWS, where
+    it beats the distributed form's 3-shuffle stage floor (0.71 vs
+    1.46s at sf0.1). Value-identical to _exact_group_quantiles
+    (pytest-pinned)."""
+    cols = sorted({c for c, _, _ in specs})
+    midx = {c: i for i, c in enumerate(cols)}
+    arrs = df.groupBy(key).agg(
+        *[
+            F.expr(f"array_sort(collect_list(CAST({c} AS DOUBLE)))").alias(f"_a{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    return arrs.select(
+        key,
+        *[
+            F.expr(_interp_quantile_sql(f"_a{midx[c]}", p)).alias(out)
+            for c, p, out in specs
+        ],
+    )
+
+
+# Below this many input rows the exact quantile uses the sorted-array
+# small form (fewer stages win on tiny inputs); above it, the
+# distributed value-counts form (nothing buffers a group's rows).
+# Same cost-based-tier contract as the graph operators' local paths;
+# both forms are value-identical by construction and pytest-pinned.
+MEDIAN_SMALL_MAX_ROWS = 2_000_000
+
+
+def _lineitem_rows(li: DataFrame, sf_dir: str) -> int:
+    """Memoized lineitem row count for the median tier probes."""
     if sf_dir not in _MEDIAN_PROBE_CACHE:
         # parquet FOOTER row count via pyarrow — zero Spark jobs at
         # query-declaration time (the r6 shape ran li.count(), a
@@ -197,7 +308,34 @@ def agg_median(
             _MEDIAN_PROBE_CACHE[sf_dir] = _pq.read_metadata(path).num_rows
         else:
             _MEDIAN_PROBE_CACHE[sf_dir] = li.count()
-    if _MEDIAN_PROBE_CACHE[sf_dir] > exact_max_rows:
+    return _MEDIAN_PROBE_CACHE[sf_dir]
+
+
+def _exact_quantiles_tiered(
+    li: DataFrame,
+    nrows: int,
+    key: str,
+    specs: list[tuple[str, float, str]],
+    *,
+    small_max_rows: int = MEDIAN_SMALL_MAX_ROWS,
+) -> DataFrame:
+    if nrows <= small_max_rows:
+        return _exact_group_quantiles_small(li, key, specs)
+    return _exact_group_quantiles(li, key, specs)
+
+
+def agg_median(
+    spark: SparkSession, sf_dir: str, *, exact_max_rows: int = MEDIAN_EXACT_MAX_ROWS
+) -> DataFrame:
+    """Exact median + interpolated quartile per group, tiered by a
+    zero-job footer row probe: sorted-array small form below
+    MEDIAN_SMALL_MAX_ROWS, distributed value-counts exact form above
+    it, and above `exact_max_rows` the plan swaps to percentile_approx
+    (mergeable sketch, bounded memory per group — the correct 100 TB
+    shape for a skewed/huge group). Outputs are plain round(x, 4)
+    doubles (driver-hash-safe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    if _lineitem_rows(li, sf_dir) > exact_max_rows:
         # percentile_approx with accuracy 10000: ~0.01% rank error,
         # fixed-size sketch merged map-side, no value buffering.
         agg_cols = [
@@ -216,20 +354,22 @@ def agg_median(
                 F.round(F.col("_p")[1], 4).alias("p75_price"),
             )
         )
-    # exact path: one sorted value array per (group, measure), exact
-    # interpolation on top (see _interp_quantile_sql for why not
-    # F.median/F.percentile)
-    g = li.groupBy("l_linestatus").agg(
-        F.expr("array_sort(collect_list(cast(l_quantity AS double)))").alias("_qs"),
-        F.expr(
-            "array_sort(collect_list(cast(l_extendedprice AS double)))"
-        ).alias("_ps"),
-    )
-    return g.select(
+    # exact path, tiered on the same probe (see _exact_quantiles_tiered)
+    q = _exact_quantiles_tiered(
+        li,
+        _lineitem_rows(li, sf_dir),
         "l_linestatus",
-        F.round(F.expr(_interp_quantile_sql("_qs", 0.5)), 4).alias("med_qty"),
-        F.round(F.expr(_interp_quantile_sql("_ps", 0.25)), 4).alias("p25_price"),
-        F.round(F.expr(_interp_quantile_sql("_ps", 0.75)), 4).alias("p75_price"),
+        [
+            ("l_quantity", 0.5, "_m"),
+            ("l_extendedprice", 0.25, "_p25"),
+            ("l_extendedprice", 0.75, "_p75"),
+        ],
+    )
+    return q.select(
+        "l_linestatus",
+        F.round("_m", 4).alias("med_qty"),
+        F.round(F.col("_p25"), 4).alias("p25_price"),
+        F.round(F.col("_p75"), 4).alias("p75_price"),
     )
 
 
@@ -256,28 +396,29 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. Tighter exact-vs-approx error is separately pytest-bounded
     (tests/test_relational.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    # exact side via sorted value arrays + interpolation (bit-identical
-    # to F.median/F.percentile, ~1.7x faster — _interp_quantile_sql);
-    # the sketch side stays percentile_approx, the at-scale plan under
-    # certificate
-    g = li.groupBy("l_linestatus").agg(
-        F.expr("array_sort(collect_list(cast(l_quantity AS double)))").alias("_qs"),
-        F.expr(
-            "array_sort(collect_list(cast(l_extendedprice AS double)))"
-        ).alias("_ps"),
+    # exact side via the tiered exact quantiles (bit-identical to
+    # F.percentile on either tier — _exact_quantiles_tiered); the
+    # sketch side stays percentile_approx, the at-scale plan under
+    # certificate. Two branches joined on the group-cardinality key
+    # (AQE broadcasts), NOT one combined agg — the same no-Expand
+    # rationale as agg_approx_distinct.
+    exact = _exact_quantiles_tiered(
+        li,
+        _lineitem_rows(li, sf_dir),
+        "l_linestatus",
+        [
+            ("l_quantity", 0.5, "_m"),
+            ("l_extendedprice", 0.25, "_p25"),
+            ("l_extendedprice", 0.75, "_p75"),
+        ],
+    )
+    sk = li.groupBy("l_linestatus").agg(
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("_ma"),
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
         ).alias("_pa"),
     )
-    g = g.select(
-        "l_linestatus",
-        F.expr(_interp_quantile_sql("_qs", 0.5)).alias("_m"),
-        F.expr(_interp_quantile_sql("_ps", 0.25)).alias("_p25"),
-        F.expr(_interp_quantile_sql("_ps", 0.75)).alias("_p75"),
-        "_ma",
-        "_pa",
-    )
+    g = exact.join(sk, "l_linestatus")
     return g.select(
         "l_linestatus",
         F.round("_m", 4).alias("med_qty"),

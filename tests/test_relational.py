@@ -120,3 +120,26 @@ def test_agg_partition_invariance(spark, sf_dir):
         )
 
     assert summarize(li.repartition(1)) == summarize(li.repartition(64))
+
+
+def test_exact_quantile_tiers_bit_identical(spark, sf_dir):
+    """The two exact-quantile physical forms — sorted-array small tier
+    and distributed value-counts tier (_exact_quantiles_tiered) — must
+    produce BIT-identical doubles: both evaluate the same Percentile
+    interpolation arithmetic, only the plan differs. Pins the
+    cost-based tier flip at MEDIAN_SMALL_MAX_ROWS as a pure physical
+    choice (the graph-local-path contract)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = [
+        ("l_quantity", 0.5, "m"),
+        ("l_extendedprice", 0.25, "p25"),
+        ("l_extendedprice", 0.75, "p75"),
+        ("l_discount", 0.9, "p90"),
+    ]
+    small = relational._exact_group_quantiles_small(li, "l_returnflag", specs)
+    dist = relational._exact_group_quantiles(li, "l_returnflag", specs)
+    s = {r["l_returnflag"]: (r["m"], r["p25"], r["p75"], r["p90"]) for r in small.collect()}
+    d = {r["l_returnflag"]: (r["m"], r["p25"], r["p75"], r["p90"]) for r in dist.collect()}
+    assert s == d  # exact ==, not approx: bit-identical doubles
