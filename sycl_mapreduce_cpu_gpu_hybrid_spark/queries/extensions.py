@@ -183,9 +183,14 @@ def udtf_top_words_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udf import register_top_words_udtf
 
     register_top_words_udtf(spark, name="top_words_arrow", use_arrow=True)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "_udtf_docs_all"
-    )
+    from ..sources.tables import fan_out
+
+    # the kernel is pure per-row Python — without spreading the
+    # single-split scan the whole table runs through ONE worker
+    # (measured 7.4s -> sub-second at the derived sf1)
+    fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=1_000_000
+    ).createOrReplaceTempView("_udtf_docs_all")
     return spark.sql(
         "SELECT t.doc_id, t.word, t.cnt, t.rnk"
         " FROM _udtf_docs_all AS d, LATERAL top_words_arrow(d.doc_id, d.text) AS t"

@@ -980,10 +980,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     would otherwise never fire), then every class is counted and
     redacted. The declared output hashes the md5 of the fully
     redacted text — the oracle must reproduce every replacement
-    byte-for-byte. Plan: one scan, pure JVM regex, no shuffle."""
+    byte-for-byte. Plan: one scan, pure JVM regex; the only exchange
+    is fan_out's scan spread — the regex pack is heavy per-row work
+    and the corpus arrives as one split below cluster scale (measured
+    3.4s single-threaded at the derived sf1)."""
     from ..functions.privacy import pii_counts, redact_pii
+    from ..sources.tables import fan_out
 
-    d = _docs(spark, sf_dir)
+    d = fan_out(_docs(spark, sf_dir), min_bytes=1_000_000)
     k = F.col("doc_id")
     enriched = F.concat(
         F.lit("contact u"), k.cast("string"),
