@@ -1434,20 +1434,33 @@ def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — this is the exact twin for the multi-band shape."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderstatus",
-        "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
-    ranked = o.select(
+    # value-counts + ONE cumulative-sum window over each group's
+    # sorted DISTINCT values (the _exact_group_quantiles shape): the
+    # rank-selected value depends only on the multiset, so the
+    # row_number sort over every group ROW (two Window ops, full-group
+    # buffering) was pure overhead
+    cnts = o.groupBy("o_orderstatus", "cents").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    ranked = cnts.select(
         "o_orderstatus",
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+        "_c",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
     )
+
     def pick(num: int, den: int, alias: str):
-        # ceil(num*n/den) via integer arithmetic
-        pos = F.expr(f"(n * {num} + {den} - 1) DIV {den}")
-        return F.max(F.when(F.col("rn") == pos, F.col("cents"))).alias(alias)
+        # value at 1-based rank pos = ceil(num*n/den): the distinct
+        # value whose cumulative span covers pos
+        pos = f"((n * {num} + {den} - 1) DIV {den})"
+        return F.expr(
+            f"max(CASE WHEN _cum - _c < {pos} AND _cum >= {pos}"
+            f" THEN cents END)"
+        ).alias(alias)
 
     return ranked.groupBy("o_orderstatus").agg(
         F.max("n").alias("n"),
