@@ -613,16 +613,23 @@ def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join keeping order-less customers (count = 0)."""
+    """Left outer join keeping order-less customers (count = 0).
+
+    The aggregation is pushed BELOW the join (Catalyst does not do
+    this rewrite): grouping orders by custkey first means the join
+    carries one row per customer-with-orders instead of one per order,
+    and the shuffled bytes are group partials, not the fact table.
+    Identical results — custkey is unique in customer, so post-join
+    grouping never merged rows across customers anyway."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
-        )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_s")
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 2).alias("spend"),
     )
 
 
