@@ -454,28 +454,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound, not just row shape. The tighter pytest bound stays in
     tests/test_relational.py."""
     li = _t(spark, sf_dir, "lineitem")
-    # Two separate aggregations joined on the (3-row) group key, NOT
-    # one combined agg: mixing countDistinct with approx_count_distinct
-    # forces Catalyst's Expand rewrite, which multiplies every input
-    # row per aggregate branch and then feeds the rsd=0.01 HLL (a
-    # large sketch) per expanded row — measured 8.1s vs 0.4s + 1.0s
-    # for the two plain aggregations at sf0.1. The join side is
-    # group-cardinality rows (tiny); AQE broadcasts it.
-    exact = (
-        li.groupBy("l_returnflag", "l_partkey")
-        .agg(F.lit(1))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_part"))
-    )
-    approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx")
-    )
-    return exact.join(approx, "l_returnflag").select(
-        "l_returnflag",
-        "exact_part",
-        _tol_flag(F.col("_approx"), F.col("exact_part"), rel=0.03, abs_=0.0).alias(
-            "approx_ok"
-        ),
+    # ONE distinct shuffle serves both sides: HLL registers are
+    # duplicate-insensitive (re-inserting an element re-sets the same
+    # register to the same value), so approx_count_distinct over the
+    # pre-deduped (flag, partkey) frame is BIT-identical to running it
+    # over the raw rows — and the exact count is a plain count(*) over
+    # the same frame. The raw-row forms were strictly worse: a single
+    # combined agg (countDistinct + approx) forces Catalyst's Expand
+    # rewrite, which multiplies every input row per aggregate branch
+    # and feeds the rsd=0.01 HLL per expanded row (measured 8.1s at
+    # sf0.1); two separate raw-row aggregations joined on the group key
+    # scan and shuffle the fact table twice (1.42s at the derived sf1
+    # vs 0.8s for this shape).
+    deduped = li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
+    return (
+        deduped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("exact_part"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_part",
+            _tol_flag(
+                F.col("_approx"), F.col("exact_part"), rel=0.03, abs_=0.0
+            ).alias("approx_ok"),
+        )
     )
 
 
