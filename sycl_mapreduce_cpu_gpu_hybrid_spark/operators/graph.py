@@ -59,8 +59,16 @@ def _pagerank_local(
     if ed.count() > n_probe:
         return None
     pdf = ed.toPandas()  # Arrow columnar transfer — no per-Row objects
+    return _pagerank_replay(pdf, ed.sparkSession, iters, damping_pct)
+
+
+def _pagerank_replay(pdf, spark, iters: int, damping_pct: int) -> DataFrame:
+    """Driver-side numpy replay of the exact fixed-point iteration
+    over an already-collected (src, dst) frame."""
+    import numpy as np
+
     if not len(pdf):
-        return ed.sparkSession.createDataFrame([], "node_id long, rank_e12 long")
+        return spark.createDataFrame([], "node_id long, rank_e12 long")
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -84,7 +92,7 @@ def _pagerank_local(
     import pandas as pd
 
     out = pd.DataFrame({"node_id": nodes, "rank_e12": rank.astype(np.int64)})
-    return ed.sparkSession.createDataFrame(out, "node_id long, rank_e12 long")
+    return spark.createDataFrame(out, "node_id long, rank_e12 long")
 
 
 def pagerank_fixedpoint(
@@ -92,13 +100,32 @@ def pagerank_fixedpoint(
     iters: int = 3,
     damping_pct: int = 85,
     local_max_edges: int = PR_LOCAL_MAX_EDGES,
+    edge_count_bound: int | None = None,
 ) -> DataFrame:
     """PageRank over DIRECTED ``edges(src, dst)`` (undirected graphs:
     pass the union of both directions). Returns (node_id, rank_e12)
     after ``iters`` rounds from a uniform 1e12 start. Nodes are the
     union of srcs and dsts; with an undirected edge set every node
     has out-degree >= 1, so no dangling-mass redistribution is needed
-    (documented limitation for directed inputs)."""
+    (documented limitation for directed inputs).
+
+    ``edge_count_bound``: optional caller-supplied UPPER bound on the
+    edge count derived from metadata alone (e.g. a parquet footer row
+    count — distinct (a, b) pairs over a fact table can never exceed
+    the fact rows). When the bound already fits the local ceiling the
+    probe jobs disappear entirely: no localCheckpoint materialization,
+    no count — the edge lineage executes exactly ONCE, inside the
+    Arrow collect (measured: 3 jobs -> 1 on the sf0.1 trade graph).
+    An over-ceiling or absent bound falls through to the checkpoint +
+    count-probe path unchanged."""
+    if (
+        edge_count_bound is not None
+        and local_max_edges > 0
+        and 0 <= edge_count_bound <= local_max_edges
+    ):
+        return _pagerank_replay(
+            edges.toPandas(), edges.sparkSession, iters, damping_pct
+        )
     # Materialize the raw edge relation ONCE: callers pass edges as an
     # arbitrary lineage (here a join+distinct over the fact table) and
     # every iteration re-consumes it — without the checkpoint the whole

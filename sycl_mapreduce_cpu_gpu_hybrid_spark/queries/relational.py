@@ -1218,7 +1218,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank_fixedpoint(edges, iters=3)
+    # metadata upper bound: distinct (cust, supp) pairs <= lineitem
+    # rows, so |E| <= 2 x the parquet footer count (zero Spark jobs).
+    # Under the local ceiling this removes the checkpoint + count
+    # probe jobs; above it (e.g. the derived sf1) the distributed
+    # loop runs exactly as before.
+    full_li = _t(spark, sf_dir, "lineitem")
+    return pagerank_fixedpoint(
+        edges, iters=3, edge_count_bound=2 * _lineitem_rows(full_li, sf_dir)
+    )
 
 
 QUERIES["graph_pagerank"] = graph_pagerank

@@ -287,6 +287,26 @@ def test_pagerank_local_fast_path_matches_distributed(spark):
         )
     )
     assert local == dist
+    # the zero-probe path (caller-supplied metadata bound) must agree
+    # too, and an over-ceiling bound must fall through to the probe
+    bounded = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(
+                edges, iters=3, edge_count_bound=len(e)
+            ).collect(),
+        )
+    )
+    assert bounded == dist
+    over = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(
+                edges, iters=3, local_max_edges=10, edge_count_bound=len(e)
+            ).collect(),
+        )
+    )
+    assert over == dist
 
 
 def test_pagerank_matches_python_replication(spark):
