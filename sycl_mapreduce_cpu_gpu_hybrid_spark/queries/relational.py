@@ -385,7 +385,7 @@ def _tol_flag(approx, exact, rel: float, abs_: float):
 def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale median plan on the VALUE gate via a bounded-error
     certificate: one aggregation computes both the mergeable-sketch
-    quantiles (percentile_approx, accuracy 1e4 — fixed-size state,
+    quantiles (percentile_approx, accuracy 2e3 — fixed-size state,
     map-side merged, the bounded-memory 100 TB plan) and the exact
     ones, then emits the exact values plus 0/1 flags asserting the
     sketch landed within tolerance (quantity: ±1 absolute — the
@@ -412,10 +412,18 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_extendedprice", 0.75, "_p75"),
         ],
     )
+    # accuracy 2000 (rank error 5e-4): the KLL-style summary's merge
+    # cost scales with the compression threshold, and 2000 already
+    # leaves order-of-magnitude headroom on both certificate arms —
+    # quantity bins hold ~2% of mass each so a 0.05% rank error moves
+    # the sketch at most one adjacent value (the ±1 contract), and
+    # measured price error is <=0.2% vs the 2% tolerance at sf0.001–
+    # sf1. Measured 1.52 -> 0.93s on the sketch agg at the derived sf1
+    # vs the prior accuracy=10000.
     sk = li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("_ma"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(2000)).alias("_ma"),
         F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(2000)
         ).alias("_pa"),
     )
     g = exact.join(sk, "l_linestatus")
