@@ -282,7 +282,8 @@ def graph_triangles(
     spark: SparkSession,
     sf_dir: str,
     orientation: str = "degree",
-    local_max_nodes: int = 2048,
+    local_max_nodes: int = 12288,
+    local_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Triangle count over the supplier co-supply graph (suppliers
     adjacent iff they supply a common part). The LLM-pipeline use is
@@ -394,12 +395,19 @@ def graph_triangles(
     # Bounded dense local path (the CC/PageRank cost-based-local
     # pattern): when the VERTEX universe fits a dense adjacency matrix
     # (suppliers here — dimension tables are small universes), triangle
-    # count = sum((A @ A) * A) / 6 — one BLAS gemm, exact in float32
-    # entries (counts <= n <= ceiling << 2^24) with a float64 reduction.
-    # The probe is count-first on the persisted edge frame; the
-    # distributed degree-oriented wedge join below is the at-scale path
-    # (the derived sf1's 10k-supplier graph exceeds the ceiling and
-    # stays distributed).
+    # count = sum((A @ A) * A) / 6 — row-blocked BLAS sgemm, exact in
+    # float32 entries (common-neighbor counts <= n <= ceiling << 2^24)
+    # with per-block float64 accumulation (every addend is an exact
+    # integer and 6*tri << 2^53). Two budgets gate the tier: the node
+    # ceiling bounds gemm flops (2*n^3 <= ~3.7e12, a few seconds at
+    # measured BLAS throughput) and dense scratch (n^2 floats, <=
+    # ~600 MB), and the EDGE budget bounds the driver Arrow transfer
+    # (4M edges ~= 64 MB — the similarity._collect_matrix contract);
+    # either budget exceeded -> the distributed degree-oriented wedge
+    # join below, whose O(m^1.5) bound is the 100 TB path. A bitset
+    # popcount tier was prototyped and rejected: this box's numpy
+    # runs uint64 elementwise ops ~500x slower than BLAS sgemm, so
+    # the gemm wins everywhere the transfer budget admits.
     if local_max_nodes > 0:
         # vertex-universe probe with ZERO Spark jobs: the co-supply
         # graph's nodes are suppliers, so the supplier table's parquet
@@ -423,20 +431,33 @@ def graph_triangles(
         if n_node_bound <= local_max_nodes:
             import numpy as np
 
+            # count-first probe on the persisted frame: the edge budget
+            # must be checked BEFORE any driver collect
             n_edge_count = edges.count()
-            pdf = edges.toPandas()
-            s1 = pdf["s1"].to_numpy(dtype=np.int64)
-            s2 = pdf["s2"].to_numpy(dtype=np.int64)
-            nodes, inv = np.unique(np.concatenate([s1, s2]), return_inverse=True)
-            i, j = inv[: len(s1)], inv[len(s1):]
-            A = np.zeros((len(nodes), len(nodes)), dtype=np.float32)
-            A[i, j] = 1.0
-            A[j, i] = 1.0
-            tri = int(round(float(np.sum((A @ A) * A, dtype=np.float64)) / 6.0))
-            return spark.createDataFrame(
-                [(int(len(nodes)), int(n_edge_count), tri)],
-                "n_nodes long, n_edges long, n_triangles long",
-            )
+            if n_edge_count <= local_max_edges:
+                pdf = edges.toPandas()
+                s1 = pdf["s1"].to_numpy(dtype=np.int64)
+                s2 = pdf["s2"].to_numpy(dtype=np.int64)
+                nodes, inv = np.unique(
+                    np.concatenate([s1, s2]), return_inverse=True
+                )
+                i, j = inv[: len(s1)], inv[len(s1):]
+                n = len(nodes)
+                A = np.zeros((n, n), dtype=np.float32)
+                A[i, j] = 1.0
+                A[j, i] = 1.0
+                # row blocks bound gemm scratch at ~256 MB; each block
+                # contributes an exact-integer float64 partial
+                total = 0.0
+                blk = max(1, (256 << 20) // (4 * max(1, n)))
+                for lo in range(0, n, blk):
+                    band = A[lo : lo + blk]
+                    total += float(((band @ A) * band).sum(dtype=np.float64))
+                tri = int(round(total / 6.0))
+                return spark.createDataFrame(
+                    [(n, int(n_edge_count), tri)],
+                    "n_nodes long, n_edges long, n_triangles long",
+                )
 
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(
