@@ -160,6 +160,24 @@ def test_basket_pairs_hand(spark, monkeypatch):
     assert [(r["p1"], r["p2"], r["support"]) for r in out] == [(1, 2, 2)]
 
 
+def test_triangles_edge_budget_falls_through(spark, monkeypatch):
+    # the dense local tier is gated by BOTH budgets: a graph whose
+    # vertex universe fits the node ceiling but whose edge count
+    # exceeds local_max_edges must take the distributed wedge path
+    # (never collect) and still produce the same exact counts
+    rows = []
+    for pk, sks in [(1, [1, 2, 3]), (2, [3, 4]), (3, [1, 4])]:
+        rows += [(pk, sk) for sk in sks]
+    df = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
+    local = behavioral.graph_triangles(spark, "unused").collect()
+    over_budget = behavioral.graph_triangles(
+        spark, "unused", local_max_edges=1
+    ).collect()
+    assert local == over_budget
+    assert over_budget[0]["n_triangles"] == 2
+
+
 def test_triangles_df_cap(spark, monkeypatch):
     # a hub part above the cap contributes nothing
     hub = [(99, sk) for sk in range(behavioral._TRI_PART_CAP + 1)]
