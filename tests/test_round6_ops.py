@@ -309,6 +309,45 @@ def test_pagerank_local_fast_path_matches_distributed(spark):
     assert over == dist
 
 
+def test_pagerank_trade_graph_local_matches_distributed(spark, sf_dir):
+    """The driver-local trade-graph build (searchsorted FK join +
+    packed dedup + replay) must produce exactly what the distributed
+    join/distinct/union + fixpoint loop produces on the same fixture."""
+    from pyspark.sql import functions as F
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import (
+        _pagerank_trade_graph_local,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    local = sorted(
+        map(tuple, _pagerank_trade_graph_local(spark, o, li).collect())
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    dist = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(edges, iters=3, local_max_edges=0).collect(),
+        )
+    )
+    assert local == dist
+
+
 def test_pagerank_matches_python_replication(spark):
     """Bit-exact against an independent pure-python fixed-point
     replication on a small random graph."""
