@@ -93,7 +93,9 @@ _GATE_PRIORITY = [
     "math_pack",
     "string_pack",
     # r8 structural rewrites whose r7 evidence predates the change —
-    # re-gate under the new plans
+    # re-gate under the new plans (session 3: pagerank driver-local
+    # trade-graph build, CC one-touch probe, triangles raised ceiling)
+    "graph_pagerank",
     "embedding_kmeans",
     "text_tfidf_topterms",
     "graph_triangles",
