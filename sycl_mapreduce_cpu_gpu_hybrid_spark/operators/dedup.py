@@ -553,20 +553,13 @@ def _cc_local(edges: DataFrame, n_probe: int) -> DataFrame | None:
     and what a cluster job does after LSH contraction has shrunk the
     duplicate graph by orders of magnitude; it is NOT a replacement
     for the distributed path, which stays property-tested and kicks in
-    past the ceiling.
-
-    Probe shape: ONE bounded limit(n+1) collect — the transfer is
-    capped at n_probe+1 rows (a few MB) even over-ceiling, and the
-    under-ceiling common case (LSH-contracted duplicate graphs are
-    orders of magnitude smaller than the corpus at any scale) touches
-    the expensive pair lineage exactly once. The earlier
-    checkpoint+count-first probe paid three touches (materialize,
-    count, collect) to save a bounded transfer that almost never
-    happens; PageRank keeps count-first because its edge set is
-    corpus-sized, not contraction-sized."""
-    pdf = edges.limit(n_probe + 1).toPandas()  # Arrow columnar transfer
-    if len(pdf) > n_probe:
+    past the ceiling."""
+    # count-first probe (edges is localCheckpointed — one cheap
+    # cached-RDD job) so an over-ceiling graph never transfers rows
+    # just to be rejected
+    if edges.count() > n_probe:
         return None
+    pdf = edges.toPandas()  # Arrow columnar transfer
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -656,21 +649,19 @@ def _connected_components_star(
     answered — pass ``local_max_edges=0`` to force the distributed
     loop)."""
     # canonical undirected edge set: (hi, lo) with hi > lo
-    canonical = pairs.select(
-        F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
-        F.least(F.col(a_col), F.col(b_col)).alias("lo"),
-    ).where(F.col("hi") != F.col("lo")).distinct()
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
     if local_max_edges > 0:
-        # probe the LAZY frame: the local path then runs the pair
-        # lineage exactly once (inside the bounded collect) instead of
-        # checkpoint+count+collect; only the over-ceiling fallthrough
-        # pays the checkpoint below
-        local = _cc_local(canonical, local_max_edges)
+        local = _cc_local(edges, local_max_edges)
         if local is not None:
             return local, 0
-    # lineage-truncate for the iterative loop (each round re-consumes
-    # the edge relation; see the localCheckpoint rationale above)
-    edges = canonical.localCheckpoint()
     # vertices is consumed ONCE (the final labeling join) and reads the
     # already-checkpointed edges — lazy is fine; checkpointing it here
     # would pay an extra materialization job per invocation
