@@ -615,6 +615,9 @@ ORACLES = {
 }
 
 
+_DPP_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning (DPP) on the gate: orders are laid
     out hive-partitioned by month (80 dirs — the write is idempotent
@@ -649,8 +652,20 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         dim.write.mode("overwrite").parquet(dim_path)
-    fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path).where(F.col("quarter") == 1)
+    # memoize the OPENED relations per session: partition discovery on
+    # the 80-dir hive layout is a driver listing job re-paid on every
+    # re-declaration otherwise (~0.45s; the same per-session+stamp rule
+    # as load_table — the fingerprint-keyed write makes contents stable)
+    app = spark.sparkContext.applicationId
+    fact = _DPP_READ_CACHE.get((app, fact_path))
+    if fact is None:
+        fact = spark.read.parquet(fact_path)
+        _DPP_READ_CACHE[(app, fact_path)] = fact
+    dim_raw = _DPP_READ_CACHE.get((app, dim_path))
+    if dim_raw is None:
+        dim_raw = spark.read.parquet(dim_path)
+        _DPP_READ_CACHE[(app, dim_path)] = dim_raw
+    dim = dim_raw.where(F.col("quarter") == 1)
     return (
         fact.join(dim, "month")
         .groupBy("month", "quarter")
