@@ -554,6 +554,12 @@ def _cc_local(edges: DataFrame, n_probe: int) -> DataFrame | None:
     duplicate graph by orders of magnitude; it is NOT a replacement
     for the distributed path, which stays property-tested and kicks in
     past the ceiling."""
+    from ..plans.budget import local_tier_enabled
+
+    # shared budget gate (plans/budget.py): honors the
+    # forced-distributed switch BEFORE paying the probe job
+    if not local_tier_enabled(n_probe):
+        return None
     # count-first probe (edges is localCheckpointed — one cheap
     # cached-RDD job) so an over-ceiling graph never transfers rows
     # just to be rejected

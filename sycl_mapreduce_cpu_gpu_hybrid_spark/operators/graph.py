@@ -52,6 +52,12 @@ def _pagerank_local(
     ceiling (the distributed loop is the at-scale path)."""
     import numpy as np
 
+    from ..plans.budget import local_tier_enabled
+
+    # shared budget gate (plans/budget.py): honors the
+    # forced-distributed switch BEFORE paying the probe job
+    if not local_tier_enabled(n_probe):
+        return None
     # count-first probe: ``ed`` is localCheckpointed, so the count is
     # one cheap cached-RDD job — a limit(n+1).collect() probe would
     # transfer up to the whole ceiling just to discover the graph is
@@ -125,11 +131,9 @@ def pagerank_fixedpoint(
     Arrow collect (measured: 3 jobs -> 1 on the sf0.1 trade graph).
     An over-ceiling or absent bound falls through to the checkpoint +
     count-probe path unchanged."""
-    if (
-        edge_count_bound is not None
-        and local_max_edges > 0
-        and 0 <= edge_count_bound <= local_max_edges
-    ):
+    from ..plans.budget import within_budget
+
+    if within_budget(edge_count_bound, local_max_edges):
         return _pagerank_replay(
             edges.toPandas(), edges.sparkSession, iters, damping_pct
         )

@@ -408,20 +408,17 @@ def graph_triangles(
     # popcount tier was prototyped and rejected: this box's numpy
     # runs uint64 elementwise ops ~500x slower than BLAS sgemm, so
     # the gemm wins everywhere the transfer budget admits.
-    if local_max_nodes > 0:
+    from ..plans.budget import local_tier_enabled, table_rows
+
+    if local_tier_enabled(local_max_nodes):
         # vertex-universe probe with ZERO Spark jobs: the co-supply
         # graph's nodes are suppliers, so the supplier table's parquet
-        # footer row count (memoized, like agg_median's probe) bounds
-        # the node count; falls back to a Spark-side distinct count
-        # when the dimension isn't a local parquet file
-        import os as _os
-
-        supp = _os.path.join(sf_dir, "supplier.parquet")
-        if _os.path.isfile(supp):
-            import pyarrow.parquet as _pq
-
-            n_node_bound = _pq.read_metadata(supp).num_rows
-        else:
+        # footer row count (memoized, plans/budget.py) bounds the node
+        # count; falls back to a Spark-side distinct count when the
+        # dimension isn't a local parquet file
+        try:
+            n_node_bound = table_rows(sf_dir, "supplier")
+        except FileNotFoundError:
             n_node_bound = (
                 edges.select(F.col("s1").alias("v"))
                 .union(edges.select(F.col("s2").alias("v")))
@@ -586,7 +583,13 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    # max(last_order per customer) == max(o_orderdate) over raw orders:
+    # computing the anchor on the SCAN (a pushdown-able single-value
+    # agg) instead of on per_cust keeps per_cust single-consumer — the
+    # r8 shape re-ran the customer groupBy once for the anchor branch
+    # and once for the main pipeline (the repo's recurring
+    # multi-consumer recompute class).
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     rfm = per_cust.join(F.broadcast(anchor)).select(
         "o_custkey",
         F.datediff("anchor", "last_order").cast("int").alias("rec_days"),
@@ -762,41 +765,105 @@ ORACLES = {
 }
 
 
+def _weighted_median_over(
+    df: DataFrame, key: str, val: str, cnt: str, out: str
+) -> DataFrame:
+    """Append column ``out`` = exact interpolated median of ``val``
+    weighted by ``cnt``, per ``key``, computed as WINDOW expressions
+    over the (already distinct-value) counts frame — the same
+    bracketing-rank formula as relational._exact_group_quantiles
+    (pos = 0.5 * (n - 1) over the expanded multiset; v_lo/v_hi are the
+    distinct values whose cumulative-count span covers ranks lo and
+    lo + 1), numerically identical to F.percentile(.., 0.5). Keeping
+    the median as a per-row column (instead of a grouped frame joined
+    back) makes the caller's pipeline LINEAR: the counts frame is
+    consumed exactly once, so nothing recomputes and nothing needs a
+    persist."""
+    w = Window.partitionBy(key).orderBy(val)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = df.select(
+        "*",
+        F.col(val).cast("double").alias("_wv"),
+        F.sum(cnt).over(w).alias("_cum"),
+        F.sum(cnt).over(wf).alias("_n"),
+    )
+    pos = "(0.5 * (_n - 1))"
+    lo = f"CAST(floor{pos} AS BIGINT)"
+    m2 = m.select(
+        "*",
+        F.max(
+            F.expr(f"CASE WHEN _cum - {cnt} <= {lo} AND _cum > {lo} THEN _wv END")
+        )
+        .over(wf)
+        .alias("_lo"),
+        F.max(
+            F.expr(
+                f"CASE WHEN _cum - {cnt} <= {lo} + 1 AND _cum > {lo} + 1"
+                " THEN _wv END"
+            )
+        )
+        .over(wf)
+        .alias("_hi"),
+        F.expr(pos).alias("_pos"),
+    )
+    keep = df.columns
+    return m2.select(
+        *keep,
+        F.expr(
+            "_lo + (CASE WHEN _pos > floor(_pos) THEN (_hi - _lo) *"
+            " (_pos - floor(_pos)) ELSE 0.0 END)"
+        ).alias(out),
+    )
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event type: median / MAD (median
     absolute deviation) over exact integer cents, flagging values
     beyond 3 MADs — the outlier rule that, unlike z-scores, a single
-    extreme value cannot poison. Exactness: percentile() on integers
-    interpolates two middle values whose average is exactly
-    representable (k or k.5), identical in both engines, so the
-    medians hash without fixed-point tricks. The two tiny per-type
-    aggregates broadcast back onto the scan (event-type cardinality is
-    bounded by the domain, not row count); at 100 TB the exact
-    percentile swaps for approx_percentile exactly as agg_median /
-    agg_median_approx document."""
+    extreme value cannot poison.
+
+    Plan (r9 rewrite): ONE map-combinable shuffle compresses the fact
+    stream to distinct (event_type, cents) value counts (~17.8k rows
+    at the derived sf1 vs 1M input rows); every later stage — both
+    weighted medians, the deviation re-group, the outlier flags —
+    runs on that tiny frame. The medians are window-computed columns
+    (_weighted_median_over), so the whole query is one LINEAR
+    pipeline: no broadcast rounds re-scanning the fact table (the r8
+    shape scanned events three times — once per percentile pass plus
+    the final agg; 1.17 -> ~0.45s at sf1). Numerically identical to
+    percentile(): the bracketing-rank interpolation over weighted
+    counts is the same formula, and cents are exact integers so the
+    medians land on k or k.5 in both engines. At 100 TB the shuffle
+    carries distinct values only — the same envelope as
+    relational._exact_group_quantiles."""
     e = _t(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    cnts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.abs(F.col("cents") - F.col("med_cents"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(abs_dev, 0.5)").alias("mad_cents")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med_cents").alias("med_cents"),
-            F.first("mad_cents").alias("mad_cents"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(
-                (F.col("abs_dev") > 3 * F.col("mad_cents")).cast("bigint")
-            ).alias("n_outliers"),
+    with_med = _weighted_median_over(cnts, "event_type", "cents", "_c", "med_cents")
+    devc = (
+        with_med.withColumn(
+            "abs_dev", F.abs(F.col("cents") - F.col("med_cents"))
         )
+        .groupBy("event_type", "abs_dev")
+        .agg(F.sum("_c").alias("_c"), F.min("med_cents").alias("med_cents"))
+    )
+    with_mad = _weighted_median_over(
+        devc, "event_type", "abs_dev", "_c", "mad_cents"
+    )
+    return with_mad.groupBy("event_type").agg(
+        F.min("med_cents").alias("med_cents"),
+        F.min("mad_cents").alias("mad_cents"),
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("abs_dev") > 3 * F.col("mad_cents"), F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
     )
 
 
@@ -958,33 +1025,50 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative only climbs or only falls, so the block-end value —
     where the max lives — is permutation-independent); both engines
     therefore agree exactly. Scale: both windows partition by day (or
-    user-day) — no global ordering anywhere."""
+    user-day) — no global ordering anywhere.
+
+    Plan (r9): session boundaries are derived PER ROW in the single
+    sessionize window pass — a row opens a session iff the gap rule
+    fires (new_s), and closes one iff the NEXT row in its (user, day)
+    frame opens a session (or there is none); events are time-ordered
+    within the frame, so that closing row's ts IS the session's
+    max(ts). Both +1/-1 deltas then come out of one explode. The r8
+    shape materialized sessions via groupBy(user, day, sid) and
+    unionAll'ed that frame with itself — duplicating the entire
+    sessionize lineage (the repo's recurring multi-consumer recompute
+    class: 1.05 -> ~0.65s at sf1) and paying an extra aggregation
+    exchange."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "value", F.to_date("ts").alias("day")
     )
     wu = Window.partitionBy("user_id", "day").orderBy("ts", "value")
     prev = F.lag("ts").over(wu)
-    sess = (
-        e.withColumn(
-            "new_s",
-            F.when(
-                prev.isNull()
-                | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "sid",
-            F.sum("new_s").over(
-                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("user_id", "day", "sid")
-        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-    )
-    deltas = sess.select(
-        "day", F.col("s").alias("t"), F.lit(1).alias("d")
-    ).unionAll(sess.select("day", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn("next_new", F.lead("new_s").over(wu))
+    empty = F.expr("CAST(array() AS array<struct<t:timestamp_ntz,d:int>>)")
+    deltas = flagged.select(
+        "day",
+        F.explode(
+            F.concat(
+                F.when(
+                    F.col("new_s") == 1,
+                    F.array(F.struct(F.col("ts").alias("t"), F.lit(1).alias("d"))),
+                ).otherwise(empty),
+                F.when(
+                    F.coalesce(F.col("next_new"), F.lit(1)) == 1,
+                    F.array(
+                        F.struct(F.col("ts").alias("t"), F.lit(-1).alias("d"))
+                    ),
+                ).otherwise(empty),
+            )
+        ).alias("ev"),
+    ).select("day", F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
     wd = (
         Window.partitionBy("day")
         .orderBy(F.col("t").asc(), F.col("d").desc())

@@ -618,6 +618,24 @@ ORACLES = {
 _DPP_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _dpp_open(spark: SparkSession, path: str) -> DataFrame:
+    """Open (or reuse) a fingerprint-keyed warehouse relation. The
+    memo is per-application AND revalidated against the layout's
+    _SUCCESS stamp: entries of stopped applications are evicted on
+    access (they pinned DataFrames of dead sessions — r8 advice), and
+    a cached relation whose directory was deleted/rewritten within the
+    same application is re-opened rather than served with a stale file
+    index."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _DPP_READ_CACHE if k[0] != app]:
+        del _DPP_READ_CACHE[key]
+    df = _DPP_READ_CACHE.get((app, path))
+    if df is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(path)
+        _DPP_READ_CACHE[(app, path)] = df
+    return df
+
+
 def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning (DPP) on the gate: orders are laid
     out hive-partitioned by month (80 dirs — the write is idempotent
@@ -656,16 +674,8 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 80-dir hive layout is a driver listing job re-paid on every
     # re-declaration otherwise (~0.45s; the same per-session+stamp rule
     # as load_table — the fingerprint-keyed write makes contents stable)
-    app = spark.sparkContext.applicationId
-    fact = _DPP_READ_CACHE.get((app, fact_path))
-    if fact is None:
-        fact = spark.read.parquet(fact_path)
-        _DPP_READ_CACHE[(app, fact_path)] = fact
-    dim_raw = _DPP_READ_CACHE.get((app, dim_path))
-    if dim_raw is None:
-        dim_raw = spark.read.parquet(dim_path)
-        _DPP_READ_CACHE[(app, dim_path)] = dim_raw
-    dim = dim_raw.where(F.col("quarter") == 1)
+    fact = _dpp_open(spark, fact_path)
+    dim = _dpp_open(spark, dim_path).where(F.col("quarter") == 1)
     return (
         fact.join(dim, "month")
         .groupBy("month", "quarter")

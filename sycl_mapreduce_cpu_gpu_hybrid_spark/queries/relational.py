@@ -288,26 +288,17 @@ MEDIAN_SMALL_MAX_ROWS = 2_000_000
 
 
 def _lineitem_rows(li: DataFrame, sf_dir: str) -> int:
-    """Memoized lineitem row count for the median tier probes."""
+    """Memoized lineitem row count for the median tier probes —
+    parquet FOOTER metadata via the shared plans/budget.py helper
+    (zero Spark jobs at query-declaration time; the r6 shape ran
+    li.count(), a collect()-class action that is a full first-touch
+    scan risk at 100 TB). Falls back to the Spark count only if the
+    source isn't a local single-file parquet table (e.g. a test
+    passes a view-backed sf_dir)."""
     if sf_dir not in _MEDIAN_PROBE_CACHE:
-        # parquet FOOTER row count via pyarrow — zero Spark jobs at
-        # query-declaration time (the r6 shape ran li.count(), a
-        # collect()-class action that is a full first-touch scan risk
-        # at 100 TB; footers are O(files) metadata reads). Falls back
-        # to the Spark count only if the source isn't a local parquet
-        # file (e.g. a test passes a view-backed sf_dir).
-        import os as _os
+        from ..plans.budget import table_rows
 
-        path = _os.path.join(sf_dir, "lineitem.parquet")
-        if _os.path.isfile(path):
-            # isfile, not exists: a directory-shaped multi-file table
-            # (a layout fingerprint_cache_dir supports) would make
-            # read_metadata raise instead of falling through (r7 advice)
-            import pyarrow.parquet as _pq
-
-            _MEDIAN_PROBE_CACHE[sf_dir] = _pq.read_metadata(path).num_rows
-        else:
-            _MEDIAN_PROBE_CACHE[sf_dir] = li.count()
+        _MEDIAN_PROBE_CACHE[sf_dir] = table_rows(sf_dir, "lineitem", df=li)
     return _MEDIAN_PROBE_CACHE[sf_dir]
 
 
@@ -1204,6 +1195,13 @@ ORACLES["dq_audit"] = """
 """
 
 
+# Trade-graph PageRank parameters, shared by the distributed call,
+# the driver-local replay, AND the oracle generator — one definition
+# so the three paths cannot silently fork (r8 advice).
+_TRADE_PR_ITERS = 3
+_TRADE_PR_DAMPING_PCT = 85
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the undirected bipartite
     customer–supplier trade graph (edge = customer's order contains
@@ -1223,9 +1221,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numpy (measured 1.99 -> 0.39s edge build at sf0.1; bit-identical
     # edge set). Above the ceiling (e.g. the derived sf1) the
     # distributed join + shuffle-per-round loop runs exactly as before.
+    from ..plans.budget import within_budget
+
     full_li = _t(spark, sf_dir, "lineitem")
     bound = 2 * _lineitem_rows(full_li, sf_dir)
-    if 0 < bound <= PR_LOCAL_MAX_EDGES:
+    if bound > 0 and within_budget(bound, PR_LOCAL_MAX_EDGES):
         local = _pagerank_trade_graph_local(spark, o, li)
         if local is not None:
             return local
@@ -1240,7 +1240,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank_fixedpoint(edges, iters=3, edge_count_bound=bound)
+    return pagerank_fixedpoint(
+        edges,
+        iters=_TRADE_PR_ITERS,
+        damping_pct=_TRADE_PR_DAMPING_PCT,
+        edge_count_bound=bound,
+    )
 
 
 def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
@@ -1264,8 +1269,14 @@ def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
     ok_s, oc_s = ok[order], oc[order]
     lk = lp["l_orderkey"].to_numpy(dtype=np.int64)
     ls = lp["l_suppkey"].to_numpy(dtype=np.int64)
-    pos = np.searchsorted(ok_s, lk)
-    valid = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
+    if not len(ok_s):
+        # empty orders: the inner join is empty (np.minimum(pos, -1)
+        # would index into an empty array below — r8 advice)
+        pos = np.zeros(len(lk), dtype=np.int64)
+        valid = np.zeros(len(lk), dtype=bool)
+    else:
+        pos = np.searchsorted(ok_s, lk)
+        valid = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
     c = oc_s[pos[valid]]
     s = ls[valid] + 1_000_000
     if len(c) and (
@@ -1277,7 +1288,9 @@ def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
     pdf = pd.DataFrame(
         {"src": np.concatenate([cu, su]), "dst": np.concatenate([su, cu])}
     )
-    return _pagerank_replay(pdf, spark, iters=3, damping_pct=85)
+    return _pagerank_replay(
+        pdf, spark, iters=_TRADE_PR_ITERS, damping_pct=_TRADE_PR_DAMPING_PCT
+    )
 
 
 QUERIES["graph_pagerank"] = graph_pagerank
@@ -1297,7 +1310,9 @@ def _pagerank_oracle() -> str:
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         )
     """
-    return pagerank_oracle_sql(edges_sql, iters=3)
+    return pagerank_oracle_sql(
+        edges_sql, iters=_TRADE_PR_ITERS, damping_pct=_TRADE_PR_DAMPING_PCT
+    )
 
 
 ORACLES["graph_pagerank"] = _pagerank_oracle()

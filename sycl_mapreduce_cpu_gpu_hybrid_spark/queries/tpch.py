@@ -396,7 +396,19 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     line quantity clears a threshold (the grouped-HAVING semi-join
     back to the fact), then customer enrichment. The HAVING aggregate
     runs BEFORE any join — the pre-aggregation that keeps the join
-    input order-grain, not line-grain."""
+    input order-grain, not line-grain.
+
+    Join strategy (r9): the post-HAVING side has no usable static
+    stats (Catalyst sees only the 6M-row lineitem parent, so it
+    estimated `big` as the LARGE side and planned a broadcast of the
+    1.5M-row orders table — a 1.10s plan at the derived sf1, and an
+    OOM at scale). The shuffle_hash hint pins the correct shape:
+    partitioned hash join BUILDING the selective aggregate (~5% of
+    orders pass the threshold), orders streaming — no broadcast of an
+    unbounded side, per-partition build memory = |big|/shuffle
+    partitions. Measured 1.10 -> 0.48s at sf1; the same plan is the
+    one that survives 100 TB (big is fact-derived, never
+    driver-collectable)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -408,7 +420,8 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
+        big.hint("shuffle_hash")
+        .join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "l_orderkey", "o_orderdate", "total_qty")
     )
