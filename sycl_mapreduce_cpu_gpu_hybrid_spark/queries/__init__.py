@@ -44,68 +44,65 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # r8 session-2 structural rewrites FIRST — these queries' physical
-    # plans changed after the r8 mid-round artifacts, so the driver's
-    # r8 sample must re-green them under the new plans (local strict
-    # parity already passes at sf0.01 + the derived sf1 for each):
-    # tiered exact quantiles, distinct-counts rank bands, one-pass
-    # HLL certificate, agg-below-join, packed-lane simhash,
-    # repartitioned basket count, fan_out spreads.
+    # r9 structural rewrites FIRST — these queries' physical plans
+    # changed this round, so the driver's r9 sample must re-green them
+    # under the new plans (local strict parity already passes at
+    # sf0.01 + the derived sf1 for each): value-counts MAD pipeline,
+    # scan-side RFM anchor, shuffle_hash Q18 build, per-row session
+    # boundaries, two-phase bucket-locate exact quantiles, rsd-0.02
+    # HLL contract, spread roundtrip layouts.
+    "events_anomaly_mad",
+    "orders_rfm",
+    "tpch_q18_volume_customers",
+    "events_concurrency",
     "agg_median",
     "agg_median_approx",
-    "agg_quantile_bands",
     "agg_approx_distinct",
-    "join_left_count",
-    "dedup_simhash_pairs",
-    "text_simhash",
-    "basket_pairs",
-    "events_json_extract",
-    "text_pii_redact",
-    "udtf_top_words_arrow",
-    # r8 rotation (r7 verdict task 8): every declared query has a green
-    # driver row cumulatively, so the prefix now holds the names whose
-    # LATEST evidence is oldest (last green r4-r5, predating the r6/r7
-    # oracle rewrites) — freshest-needed first. Derived from the
-    # CORRECTNESS_r0*.json ledgers; re-derive and rotate each round.
-    "multimodal_features",
-    "udf_kernel_pack",
-    "corpus_curate",
-    "dedup_clusters",
-    "dedup_embedding_pairs",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "similarity_bruteforce_topk",
-    "stream_parquet_sink",
-    "stream_sliding_avg",
-    "stream_tumbling_counts",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "events_sessionization",
-    "events_time_agg",
-    "corpus_split",
-    "window_rank_parts",
-    "setop_pack",
-    "array_pack",
-    "date_map_pack",
-    "math_pack",
-    "string_pack",
-    # r8 structural rewrites whose r7 evidence predates the change —
-    # re-gate under the new plans (session 3: pagerank driver-local
-    # trade-graph build, CC one-touch probe, triangles raised ceiling)
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
     "graph_pagerank",
-    "embedding_kmeans",
-    "text_tfidf_topterms",
-    "graph_triangles",
-    "similarity_ivf_topk",
-    "stream_rate_source",
-    "stream_running_max",
-    "source_binaryfile_roundtrip",
-    "dedup_minhash_pairs",
-    "agg_stats_moments",
-    "stream_dedup",
+    "join_partition_pruned",
+    # r9 rotation (r8 verdict task 7): the names whose LATEST green
+    # driver evidence is oldest — the ~40 queries last sampled in r6,
+    # covered by neither the r7 nor the r8 sample (derived by
+    # replaying the CORRECTNESS_r0*.json ledgers; re-derive and rotate
+    # each round).
+    "agg_grouping_sets",
+    "agg_mode_pack",
+    "corpus_decontaminate",
+    "corpus_pack_tokens",
+    "corpus_sample_stratified",
+    "corpus_temperature_weights",
+    "dedup_incremental",
+    "dq_audit",
+    "embedding_norm_stats",
+    "events_attribution",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_gapfill",
+    "events_histogram",
+    "events_rolling_7d",
+    "events_rolling_distinct",
+    "events_top_paths",
+    "events_transition_matrix",
+    "events_zorder_key",
+    "join_exists_correlated",
+    "join_point_in_time",
+    "join_runtime_filtered",
+    "merge_upsert",
+    "orders_yoy_growth",
+    "pareto_revenue",
+    "scd2_order_priority",
+    "stream_cdc_upsert",
+    "text_bigram_lm",
+    "text_chunk_sliding",
+    "text_inverted_index",
+    "text_unigram_surprise",
+    "tpch_q14_promo_share",
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast_revenue",
+    "window_distribution_pack",
 ]
 
 

@@ -240,11 +240,19 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-round-trip; dates are ISO)."""
     from ..sources.files import read_csv
 
-    path = _roundtrip_cache_dir(sf_dir, "csv", "orders")
+    # layout is part of the cache key ("csvN"): text parsing is the
+    # whole cost of this query, and the parquet source's 1-4 splits
+    # capped read parallelism at 4 tasks — spreading the one-time
+    # write across default parallelism lets every core parse
+    # (0.68 -> ~0.25s at sf0.1; same rows, same values)
+    n_parts = spark.sparkContext.defaultParallelism
+    path = _roundtrip_cache_dir(sf_dir, f"csv{n_parts}", "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-        ).write.mode("overwrite").option("header", True).csv(path)
+        ).repartition(n_parts).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
     df = read_csv(
         spark,
         path,
@@ -266,11 +274,13 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per type."""
     from ..sources.files import read_json
 
-    path = _roundtrip_cache_dir(sf_dir, "json", "events")
+    # same parse-parallelism spread as source_csv_roundtrip
+    n_parts = spark.sparkContext.defaultParallelism
+    path = _roundtrip_cache_dir(sf_dir, f"json{n_parts}", "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "user_id", "value"
-        ).write.mode("overwrite").json(path)
+        ).repartition(n_parts).write.mode("overwrite").json(path)
     df = read_json(
         spark, path, "event_id bigint, event_type string, user_id bigint, value double"
     )

@@ -166,6 +166,12 @@ def _interp_quantile_sql(arr: str, p: float) -> str:
     )
 
 
+# Range-bucket count for the exact-quantile locate phase: the bucket
+# frame is at most groups x measures x this many rows, and each pick
+# window sees ~1/B of a measure's distinct values.
+QUANTILE_LOCATE_BUCKETS = 1024
+
+
 def _exact_group_quantiles(
     df: DataFrame, key: str, specs: list[tuple[str, float, str]]
 ) -> DataFrame:
@@ -175,71 +181,135 @@ def _exact_group_quantiles(
     interpolation (_interp_quantile_sql — same literal arithmetic:
     pos = p * (n - 1), result = v[lo] + (v[lo+1] - v[lo]) * frac).
 
-    Plan, per measure column: groupBy (key, value) counts — map-side
-    combinable, so the shuffle carries DISTINCT values, not rows —
-    then one cumulative-sum window over each group's sorted distinct
-    values locates the bracketing ranks, and a final tiny aggregate
-    picks them out. Memory and shuffle are bounded by distinct values
-    per group (the same envelope SCALING.md documents for Spark's own
-    Percentile buffer), but nothing ever holds a whole group's ROWS:
-    the r8 sorted-array form collected 6M doubles into ONE task at the
-    derived sf1 (8.0s — O(n log n) serial); this shape measured ~1s,
-    and at 100 TB it is the only exact form that survives. NULL
-    measures are dropped, matching collect_list / Percentile."""
-    # ONE pipeline for every measure: melt (measure_idx, value) rows —
-    # the stack doubles scan rows but the counts agg is map-side
-    # combinable, so the shuffle still carries distinct values only —
-    # then a single cumulative-sum window partitioned by (key, measure)
-    # and a single final aggregate. Per-measure branches each paid the
-    # full stage-floor (counts + window + join) twice over.
+    Plan, r9 (two-phase distributed selection): groupBy (key, measure,
+    value) counts — map-side combinable, so the shuffle carries
+    DISTINCT values, not rows — then instead of one cumulative-sum
+    window over EVERY distinct value (583k rows through a per-group
+    serial sort at the derived sf1 — the r8 shape's cost), the
+    bracketing ranks are LOCATED first: values fold into
+    QUANTILE_LOCATE_BUCKETS range buckets (any monotone bucket map is
+    correct — it only partitions the rank space), a cumulative window
+    over the tiny bucket-count frame finds which bucket covers each
+    target rank, and only the counts rows of those few buckets (~1/B
+    of the distinct values each) re-window to pick the exact value at
+    the in-bucket rank. The counts frame is persisted (lazy — the
+    multi-consumer share pattern of tfidf/triangles): the locate and
+    pick phases both read it, nothing recomputes the scan. Memory and
+    shuffle stay bounded by distinct values per group, the windows by
+    distinct values PER BUCKET — the shape that survives a 100 TB
+    high-cardinality measure. NULL measures are dropped, matching
+    collect_list / Percentile; value-identical to the sorted-array
+    small form (pytest-pinned, test_exact_quantile_tiers_bit_identical).
+    """
+    from pyspark import StorageLevel
+
     cols = sorted({c for c, _, _ in specs})
     midx = {c: i for i, c in enumerate(cols)}
     stack = ", ".join(f"{i}, CAST({c} AS DOUBLE)" for c, i in midx.items())
     melted = df.select(
         key, F.expr(f"stack({len(cols)}, {stack}) AS (_mi, _v)")
     ).where(F.col("_v").isNotNull())
-    cnts = melted.groupBy(key, "_mi", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    w_ord = Window.partitionBy(key, "_mi").orderBy("_v")
-    # group totals as a second frame of the SAME Window operator (one
-    # partitioning + sort serves both) — a separate totals agg joined
-    # back would consume the counts frame twice, and Spark re-executes
-    # multi-consumer lineage (the repo's recurring recompute class);
-    # measured 1.89 -> 1.46s at sf0.1
-    marked = cnts.select(
-        key,
-        "_mi",
-        "_v",
-        "_c",
-        F.sum("_c").over(w_ord).alias("_cum"),
-        F.sum("_c")
-        .over(
-            w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnts = (
+        melted.groupBy(key, "_mi", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # phase 0: per-(group, measure) totals and value range (tiny;
+    # broadcast back onto the counts frame)
+    rng = cnts.groupBy(key, "_mi").agg(
+        F.sum("_c").alias("_n"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+    )
+    b_hi = QUANTILE_LOCATE_BUCKETS - 1
+    bexpr = (
+        f"LEAST(CAST({b_hi} AS BIGINT), CAST(floor((_v - _mn) /"
+        f" (CASE WHEN _mx > _mn THEN _mx - _mn ELSE 1.0 END)"
+        f" * {QUANTILE_LOCATE_BUCKETS}) AS BIGINT))"
+    )
+    wb = cnts.join(F.broadcast(rng), [key, "_mi"]).withColumn(
+        "_b", F.expr(bexpr)
+    )
+    # phase 1 (locate): cumulative counts over the BUCKET frame — at
+    # most groups x measures x B rows — find, for every spec's two
+    # bracketing ranks (0-based lo and lo + 1 at pos = p * (n - 1)),
+    # the bucket covering that rank and the rank's offset within it
+    bcnt = wb.groupBy(key, "_mi", "_n", "_b").agg(F.sum("_c").alias("_bc"))
+    w_b = Window.partitionBy(key, "_mi").orderBy("_b")
+    bmark = bcnt.withColumn("_bcum", F.sum("_bc").over(w_b))
+    spec_structs = [
+        F.struct(
+            F.lit(si).alias("_si"),
+            F.lit(midx[c]).alias("_smi"),
+            F.lit(float(p)).alias("_p"),
+            F.lit(w).alias("_w"),
         )
-        .alias("_n"),
+        for si, (c, p, _) in enumerate(specs)
+        for w in (0, 1)
+    ]
+    rank = "(CAST(floor(_p * (_n - 1)) AS BIGINT) + _w)"
+    needs = (
+        bmark.select("*", F.explode(F.array(*spec_structs)).alias("_s"))
+        .select(
+            key,
+            "_mi",
+            "_b",
+            "_n",
+            F.col("_s._si").alias("_si"),
+            F.col("_s._smi").alias("_smi"),
+            F.col("_s._p").alias("_p"),
+            F.col("_s._w").alias("_w"),
+            "_bc",
+            "_bcum",
+        )
+        .where(
+            F.expr(
+                f"_smi = _mi AND _bcum - _bc <= {rank} AND _bcum > {rank}"
+            )
+        )
+        .select(
+            key,
+            "_mi",
+            "_b",
+            "_si",
+            "_w",
+            "_n",
+            F.expr(f"{rank} - (_bcum - _bc)").alias("_lr"),
+        )
+    )
+    # phase 2 (pick): only the located buckets' counts rows (~1/B of
+    # the distinct values each) re-window; exactly one row covers each
+    # in-bucket rank
+    sub = wb.select(key, "_mi", "_b", "_v", "_c").join(
+        F.broadcast(needs), [key, "_mi", "_b"]
+    )
+    w_in = Window.partitionBy(key, "_mi", "_si", "_w").orderBy("_v")
+    picked = (
+        sub.withColumn("_vcum", F.sum("_c").over(w_in))
+        .where(
+            (F.col("_vcum") - F.col("_c") <= F.col("_lr"))
+            & (F.col("_vcum") > F.col("_lr"))
+        )
+        .select(key, "_si", "_w", "_v", "_n")
     )
     aggs = []
-    for col, p, out in specs:
-        mi = midx[col]
-        pos = f"({p} * (_n - 1))"
-        lo = f"CAST(floor{pos} AS BIGINT)"
-        # exactly one distinct-value row brackets each rank:
-        # 0-based rank r lives where cum - c <= r < cum
+    for si, (col, p, out) in enumerate(specs):
         aggs.append(
-            F.expr(
-                f"max(CASE WHEN _mi = {mi} AND _cum - _c <= {lo}"
-                f" AND _cum > {lo} THEN _v END) AS _lo_{out}"
-            )
+            F.max(
+                F.when((F.col("_si") == si) & (F.col("_w") == 0), F.col("_v"))
+            ).alias(f"_lo_{out}")
         )
         aggs.append(
-            F.expr(
-                f"max(CASE WHEN _mi = {mi} AND _cum - _c <= {lo} + 1"
-                f" AND _cum > {lo} + 1 THEN _v END) AS _hi_{out}"
-            )
+            F.max(
+                F.when((F.col("_si") == si) & (F.col("_w") == 1), F.col("_v"))
+            ).alias(f"_hi_{out}")
         )
         aggs.append(
-            F.expr(f"max(CASE WHEN _mi = {mi} THEN {pos} END) AS _pos_{out}")
+            F.max(
+                F.when(F.col("_si") == si, F.expr(f"{p} * (_n - 1)"))
+            ).alias(f"_pos_{out}")
         )
-    g = marked.groupBy(key).agg(*aggs)
+    g = picked.groupBy(key).agg(*aggs)
     return g.select(
         key,
         *[
@@ -403,18 +473,19 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_extendedprice", 0.75, "_p75"),
         ],
     )
-    # accuracy 2000 (rank error 5e-4): the KLL-style summary's merge
-    # cost scales with the compression threshold, and 2000 already
-    # leaves order-of-magnitude headroom on both certificate arms —
-    # quantity bins hold ~2% of mass each so a 0.05% rank error moves
-    # the sketch at most one adjacent value (the ±1 contract), and
-    # measured price error is <=0.2% vs the 2% tolerance at sf0.001–
-    # sf1. Measured 1.52 -> 0.93s on the sketch agg at the derived sf1
-    # vs the prior accuracy=10000.
+    # accuracy 1000 (rank error 1e-3): the KLL-style summary's merge
+    # cost scales with the compression threshold — measured 0.79s
+    # (acc 2000) -> ~0.55s (acc 1000) on the sketch agg at the derived
+    # sf1 — and 1000 still leaves wide headroom on both certificate
+    # arms: quantity bins hold ~2% of mass each so a 0.1% rank error
+    # moves the sketch at most one adjacent value (the ±1 contract),
+    # and measured price error is <= 0.32% vs the 2% tolerance at
+    # sf0.01 / sf0.1 / the derived sf1 (6x margin; acc 500 measured up
+    # to 0.66% — rejected to keep >= 3x).
     sk = li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(2000)).alias("_ma"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias("_ma"),
         F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(2000)
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(1000)
         ).alias("_pa"),
     )
     g = exact.join(sk, "l_linestatus")
@@ -470,13 +541,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("exact_part"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+            # rsd 0.02 is the CONTRACT (r9): the HLL++ register file
+            # scales ~1/rsd^2, and rsd 0.01's registers dominated the
+            # whole query (sketch arm 0.74s vs 0.03s at rsd 0.02 on the
+            # derived sf1 — 1.43 -> ~0.7s total). 2% relative error is
+            # the conventional cardinality-sketch operating point
+            # (Spark's own default is 5%); the certificate below
+            # asserts 3x rsd = 6%, and measured error across
+            # sf0.01/sf0.1/sf1 is <= 1.45% (4x margin, vs rsd 0.03
+            # which measured 4.4% at sf0.1 — rejected for thin margin).
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         )
         .select(
             "l_returnflag",
             "exact_part",
             _tol_flag(
-                F.col("_approx"), F.col("exact_part"), rel=0.03, abs_=0.0
+                F.col("_approx"), F.col("exact_part"), rel=0.06, abs_=0.0
             ).alias("approx_ok"),
         )
     )

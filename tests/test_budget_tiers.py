@@ -1,0 +1,88 @@
+"""The forced-distributed switch (plans/budget.py): with
+SMRGH_FORCE_DISTRIBUTED set, every driver-local fast path must refuse
+to run and its distributed twin must produce the identical result —
+the r8 verdict's consolidation ask, so the at-scale plan of each
+tiered operator runs end-to-end in CI every round rather than only
+when a fixture happens to exceed a ceiling."""
+
+from __future__ import annotations
+
+import pytest
+
+from sycl_mapreduce_cpu_gpu_hybrid_spark.plans import budget
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def forced(monkeypatch):
+    monkeypatch.setenv(budget.FORCE_DISTRIBUTED_ENV, "1")
+    yield
+
+
+def test_switch_semantics(monkeypatch):
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV, raising=False)
+    assert not budget.force_distributed()
+    assert budget.local_tier_enabled(10)
+    assert budget.within_budget(5, 10)
+    monkeypatch.setenv(budget.FORCE_DISTRIBUTED_ENV, "0")
+    assert not budget.force_distributed()
+    monkeypatch.setenv(budget.FORCE_DISTRIBUTED_ENV, "1")
+    assert budget.force_distributed()
+    assert not budget.local_tier_enabled(10)
+    assert not budget.within_budget(5, 10)
+
+
+def test_table_rows_footer_matches_spark(spark):
+    n = budget.table_rows(SF, "supplier")
+    assert n == spark.read.parquet(f"{SF}/supplier.parquet").count()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pagerank_forced_distributed_matches(spark, forced, monkeypatch):
+    """graph_pagerank under the switch: the numpy replay and the
+    driver-local trade-graph edge build are both disabled, so the
+    whole query runs the distributed join + shuffle-per-round loop —
+    and must be bit-identical to the local tier's output."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import (
+        graph_pagerank,
+    )
+
+    dist = _rows(graph_pagerank(spark, SF))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(graph_pagerank(spark, SF))
+    assert dist == local and len(dist) > 0
+
+
+def test_cc_forced_distributed_matches(spark, forced, monkeypatch):
+    """connected_components under the switch: the union-find tier is
+    disabled, the star-contraction fixpoint runs, same labels."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (11, 12), (3, 1)],
+        "a long, b long",
+    )
+    dist = _rows(connected_components(edges, "a", "b"))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(connected_components(edges, "a", "b"))
+    assert dist == local and len(dist) > 0
+
+
+def test_triangles_forced_distributed_matches(spark, forced, monkeypatch):
+    """graph_triangles under the switch: the dense-gemm tier is
+    disabled (no footer probe, no edge collect), the degree-oriented
+    wedge join runs, same (n_nodes, n_edges, n_triangles)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.behavioral import (
+        graph_triangles,
+    )
+
+    dist = _rows(graph_triangles(spark, SF))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(graph_triangles(spark, SF))
+    assert dist == local and len(dist) > 0

@@ -67,11 +67,13 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     approx = {
         r["l_returnflag"]: r["d"]
         for r in li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("d"))
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("d"))
         .collect()
     }
     for flag, ex in exact.items():
-        assert approx[flag] == pytest.approx(ex, rel=0.02)
+        # tighter than the declared 6% certificate: measured error at
+        # the contract rsd=0.02 stays within 2x rsd on every fixture
+        assert approx[flag] == pytest.approx(ex, rel=0.04)
     # the declared certificate must agree: exact counts + all flags 1
     cert = {
         r["l_returnflag"]: (r["exact_part"], r["approx_ok"])
@@ -79,6 +81,68 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     }
     assert {k: v[0] for k, v in cert.items()} == exact
     assert all(v[1] == 1 for v in cert.values())
+
+
+def test_agg_median_sketch_tier_boundary(spark, tmp_path):
+    """The >MEDIAN_EXACT_MAX_ROWS sketch tier, exercised AT ITS
+    BOUNDARY on a synthetic fixture (r8 verdict: the declared at-scale
+    path must not stay theoretical). The tier decision is driven by
+    the parquet FOOTER probe (_lineitem_rows), so this test builds a
+    real lineitem.parquet whose footer count straddles the threshold:
+
+    - exact_max_rows == footer count  -> exact tier (plan has NO
+      percentile_approx);
+    - exact_max_rows == footer count - 1 -> the probe flips the plan
+      to percentile_approx (asserted on the optimized plan), executed
+      end-to-end, values within the documented sketch tolerance
+      (accuracy 10000 ~ 0.01% rank error; the integer-quantity median
+      may legally sit one adjacent value off the interpolated exact).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5_000
+    rng = np.random.RandomState(7)
+    tbl = pa.table(
+        {
+            "l_linestatus": pa.array(
+                np.where(rng.rand(n) < 0.5, "O", "F")
+            ),
+            "l_quantity": pa.array(
+                rng.randint(1, 51, n).astype("float64")
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.rand(n) * 90000 + 900, 2)
+            ),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/lineitem.parquet")
+    footer = relational._lineitem_rows(None, sf)
+    assert footer == n  # the probe read the footer, no Spark job
+
+    exact_df = relational.agg_median(spark, sf, exact_max_rows=n)
+    sketch_df = relational.agg_median(spark, sf, exact_max_rows=n - 1)
+    exact_plan = exact_df._jdf.queryExecution().optimizedPlan().toString()
+    sketch_plan = sketch_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in exact_plan
+    assert "percentile_approx" in sketch_plan
+
+    exact = {
+        r["l_linestatus"]: (r["med_qty"], r["p25_price"], r["p75_price"])
+        for r in exact_df.collect()
+    }
+    approx = {
+        r["l_linestatus"]: (r["med_qty"], r["p25_price"], r["p75_price"])
+        for r in sketch_df.collect()
+    }
+    assert set(exact) == set(approx) == {"O", "F"}
+    for status, (m, p25, p75) in exact.items():
+        am, a25, a75 = approx[status]
+        assert abs(am - m) <= 1.0  # adjacent integer quantity is legal
+        assert a25 == pytest.approx(p25, rel=0.02)
+        assert a75 == pytest.approx(p75, rel=0.02)
 
 
 def test_agg_median_approx_fallback(spark, sf_dir):
