@@ -44,6 +44,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: SPARK ERR {exc}")
             continue
+        finally:
+            # drop orphaned localCheckpoint blocks between QUERIES
+            # (never between a query's timed runs — each execution
+            # re-creates its own checkpoints on the measured clock);
+            # see tests/parity.py: the iterative loops' blocks are not
+            # in the SQL cache and otherwise accumulate until a later
+            # broadcast build fails at the derived sf1.
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
         sql = oracles[name]
         con.execute(sql).fetchall()
         dt = min(_t(lambda: con.execute(sql).fetchall()) for _ in range(2))

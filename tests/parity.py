@@ -176,8 +176,19 @@ def run(
         finally:
             # operators persist intra-query shared stages (dedup.py);
             # cleanup is centralized here so entries can't accumulate
-            # across a 65-query session
+            # across a 125-query session
             spark.catalog.clearCache()
+            # clearCache only empties the SQL relation cache —
+            # localCheckpoint blocks (CC / PageRank fixpoint loops)
+            # live as persistent RDDs and are only reclaimed when the
+            # ContextCleaner notices the object is unreachable. Over a
+            # full sweep at the derived sf1 the orphaned blocks filled
+            # the unified pool until a later broadcast build failed
+            # (r9: corpus_curate after the gate-priority reorder), so
+            # drop them explicitly; every query re-creates its own
+            # checkpoints on execution.
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
     return results
 
 
