@@ -121,6 +121,11 @@ def main() -> None:
         else:
             r = holder["r"]
         spark.catalog.clearCache()
+        # also drop orphaned localCheckpoint blocks (not in the SQL
+        # cache) — see tests/parity.py: they otherwise accumulate
+        # across the sweep until a broadcast build fails
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
         r["wall_sec"] = round(time.monotonic() - t0, 3)
         results.append(r)
         flush()

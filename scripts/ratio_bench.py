@@ -45,12 +45,20 @@ def main() -> None:
             print(f"{name}: SPARK ERR {exc}")
             continue
         finally:
-            # drop orphaned localCheckpoint blocks between QUERIES
-            # (never between a query's timed runs — each execution
-            # re-creates its own checkpoints on the measured clock);
-            # see tests/parity.py: the iterative loops' blocks are not
-            # in the SQL cache and otherwise accumulate until a later
-            # broadcast build fails at the derived sf1.
+            # Between QUERIES (never between a query's timed runs):
+            # 1) clearCache() UNREGISTERS the SQL relation cache —
+            #    order matters: unpersisting a cached relation's RDD
+            #    while its CacheManager entry stays registered leaves
+            #    a poisoned entry with no storage, and any LATER query
+            #    whose plan canonicalizes onto it recomputes the
+            #    lineage per consumer (measured: dedup_ngram_jaccard
+            #    5.8 -> 88.7s in the sweep when the raw unpersist ran
+            #    without the clearCache);
+            # 2) the remaining persistent RDDs are the iterative
+            #    loops' localCheckpoint blocks (not in the SQL cache),
+            #    which otherwise accumulate until a later broadcast
+            #    build fails at the derived sf1 — see tests/parity.py.
+            spark.catalog.clearCache()
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist()
         sql = oracles[name]

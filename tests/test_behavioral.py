@@ -186,3 +186,41 @@ def test_triangles_df_cap(spark, monkeypatch):
     monkeypatch.setattr(behavioral, "load_table", lambda s, d, n: df)
     out = behavioral.graph_triangles(spark, "unused").collect()[0]
     assert out["n_edges"] == 1 and out["n_triangles"] == 0
+
+
+def test_weighted_median_matches_percentile(spark):
+    """_weighted_median_over on a (key, value, count) frame must be
+    bit-identical to F.percentile(value, 0.5) over the EXPANDED
+    multiset — the exactness contract events_anomaly_mad's r9
+    value-counts pipeline rests on (odd/even n, heavy duplicates,
+    negative values, singleton groups)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(42)
+    rows = []
+    for g in range(6):
+        n_vals = rng.randint(1, 30)
+        for _ in range(n_vals):
+            rows.append((f"g{g}", rng.randint(-50, 50), rng.randint(1, 7)))
+    cnts = spark.createDataFrame(rows, "k string, v long, c long")
+    # collapse duplicate (k, v) rows the way a groupBy-count would
+    cnts = cnts.groupBy("k", "v").agg(F.sum("c").alias("c"))
+    got = {
+        r["k"]: r["m"]
+        for r in behavioral._weighted_median_over(cnts, "k", "v", "c", "m")
+        .select("k", "m")
+        .distinct()
+        .collect()
+    }
+    expanded = cnts.select(
+        "k", F.explode(F.expr("array_repeat(v, CAST(c AS INT))")).alias("v")
+    )
+    want = {
+        r["k"]: r["m"]
+        for r in expanded.groupBy("k")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == want  # exact ==, not approx
