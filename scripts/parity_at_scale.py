@@ -125,7 +125,7 @@ def main() -> None:
         # cache) — see tests/parity.py: they otherwise accumulate
         # across the sweep until a broadcast build fails
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+            jrdd.unpersist(True)
         r["wall_sec"] = round(time.monotonic() - t0, 3)
         results.append(r)
         flush()

@@ -60,7 +60,7 @@ def main() -> None:
             #    build fails at the derived sf1 — see tests/parity.py.
             spark.catalog.clearCache()
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
+                jrdd.unpersist(True)
         sql = oracles[name]
         con.execute(sql).fetchall()
         dt = min(_t(lambda: con.execute(sql).fetchall()) for _ in range(2))

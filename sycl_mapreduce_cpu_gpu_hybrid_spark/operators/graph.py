@@ -77,7 +77,18 @@ def _pagerank_replay(pdf, spark, iters: int, damping_pct: int) -> DataFrame:
         return spark.createDataFrame([], "node_id long, rank_e12 long")
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
-    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    # hash-based factorize, NOT np.unique(return_inverse): unique sorts
+    # the 2|E| concat (O(E log E) allocation-heavy), measured 0.2-7s on
+    # the sf0.1 trade graph depending on ambient CPU contention — the
+    # r9 bench's unexplained pagerank variance lived here. factorize is
+    # one linear hash pass (~30ms, stable under load); node order is
+    # appearance order, which no downstream step depends on (deg/flow
+    # index by compacted id, output rows are set-compared).
+    import pandas as pd
+
+    inv, nodes = pd.factorize(np.concatenate([src, dst]), sort=False)
+    inv = inv.astype(np.int64, copy=False)
+    nodes = np.asarray(nodes, dtype=np.int64)
     si, di = inv[: len(src)], inv[len(src):]
     deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
     safe_deg = np.where(deg == 0, 1, deg)  # deg-0 nodes are never srcs
@@ -137,39 +148,54 @@ def pagerank_fixedpoint(
         return _pagerank_replay(
             edges.toPandas(), edges.sparkSession, iters, damping_pct
         )
-    # Materialize the raw edge relation ONCE: callers pass edges as an
-    # arbitrary lineage (here a join+distinct over the fact table) and
-    # every iteration re-consumes it — without the checkpoint the whole
-    # derivation re-executes per round. r7 restructure: deg is FOLDED
-    # INTO THE NODE FRAME instead of denormalized onto every edge row
-    # (the r6 shape materialized a deg-joined 3-column copy of 2|E|
-    # rows — an extra |E|-sized join + write per run). The rank frame
-    # carries (node_id, deg, rank), so the contribution join reads deg
-    # from the |V|-row side and the checkpointed edge bytes shrink by a
-    # third. Bit-identical output (A/B-verified); measured ~12% on min
-    # at sf0.1 (2.72s -> 2.40s full query) and structurally one less
-    # |E|-sized shuffle at any scale.
-    ed = edges.localCheckpoint()
+    # Materialize the raw edge relation ONCE, HASH-PARTITIONED ON src:
+    # callers pass edges as an arbitrary lineage (here a join+distinct
+    # over the fact table) and every iteration re-consumes it — without
+    # the checkpoint the whole derivation re-executes per round. The
+    # explicit repartition(P, src) before the checkpoint is the r10
+    # at-scale fix: localCheckpoint captures the physical plan's output
+    # partitioning, so EVERY round's contribution join sees the edge
+    # side already clustered on its key and inserts no exchange for it
+    # — the graph is shuffled once per run, not once per round. (The r9
+    # shape let the planner broadcast the |V|-row rank frame per round:
+    # three driver collect+rebroadcast cycles of the full rank vector,
+    # the measured sf10 memory-churn source — 112s min / 202s median —
+    # and a driver-unscalable plan at real |V|.) deg stays FOLDED INTO
+    # THE NODE FRAME (r7): the rank frame carries (node_id, deg, rank),
+    # so the contribution join reads deg from the |V|-row side.
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ed = edges.repartition(n_part, "src").localCheckpoint()
     if local_max_edges > 0:
         local = _pagerank_local(ed, iters, damping_pct, local_max_edges)
         if local is not None:
             return local
     # one aggregation yields BOTH the node universe and out-degrees:
     # dst-only nodes get deg=0 (never probed — the contribution join
-    # keys on src, and every src has deg >= 1 by construction)
+    # keys on src, and every src has deg >= 1 by construction). The
+    # repartition(P, node_id) pins HashPartitioning(node_id, P) into
+    # the checkpoint (the groupBy's own partitioning could be AQE-
+    # coalesced to a different count), so BOTH per-round joins are
+    # exchange-free: ranks flows out of the nd-side of the carry join
+    # still clustered on node_id, matching ed's src clustering.
     nd = (
         ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))
         .unionAll(ed.select(F.col("dst").alias("node_id"), F.lit(0).alias("is_out")))
         .groupBy("node_id")
         .agg(F.sum("is_out").cast("bigint").alias("deg"))
+        .repartition(n_part, "node_id")
         .localCheckpoint()
     )
     ranks = nd.select(
         "node_id", "deg", F.lit(RANK_SCALE).cast("bigint").alias("rank")
     )
     for _ in range(iters):
+        # shuffle_hash on the |V|-row side: co-partitioned build, no
+        # sort of the |E| stream, and — unlike broadcast — no driver
+        # collect of the rank vector; the ONLY per-round exchange left
+        # is the map-side-combined flow aggregation on dst.
         contrib = (
-            ed.join(ranks, F.col("src") == F.col("node_id"))
+            ed.join(ranks.hint("shuffle_hash"), F.col("src") == F.col("node_id"))
             .select("dst", F.expr("rank DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("flow"))
@@ -180,7 +206,7 @@ def pagerank_fixedpoint(
         # round (the repo's recurring multi-consumer re-execution bug
         # class) and double the plan per iteration
         ranks = (
-            nd.join(contrib, nd.node_id == contrib.dst, "left")
+            nd.join(contrib.hint("shuffle_hash"), nd.node_id == contrib.dst, "left")
             .select(
                 "node_id",
                 "deg",

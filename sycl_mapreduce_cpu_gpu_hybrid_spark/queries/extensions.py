@@ -248,6 +248,9 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = spark.sparkContext.defaultParallelism
     path = _roundtrip_cache_dir(sf_dir, f"csv{n_parts}", "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sources.tables import prune_layout_variants
+
+        prune_layout_variants(path, "csv", "orders")
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
         ).repartition(n_parts).write.mode("overwrite").option(
@@ -278,6 +281,9 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = spark.sparkContext.defaultParallelism
     path = _roundtrip_cache_dir(sf_dir, f"json{n_parts}", "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sources.tables import prune_layout_variants
+
+        prune_layout_variants(path, "json", "events")
         load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "user_id", "value"
         ).repartition(n_parts).write.mode("overwrite").json(path)
@@ -625,24 +631,29 @@ ORACLES = {
 }
 
 
-_DPP_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DPP_READ_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = {}
 
 
 def _dpp_open(spark: SparkSession, path: str) -> DataFrame:
     """Open (or reuse) a fingerprint-keyed warehouse relation. The
-    memo is per-application AND revalidated against the layout's
-    _SUCCESS stamp: entries of stopped applications are evicted on
-    access (they pinned DataFrames of dead sessions — r8 advice), and
-    a cached relation whose directory was deleted/rewritten within the
-    same application is re-opened rather than served with a stale file
-    index."""
+    memo is per-application AND keyed on the layout's _SUCCESS stamp
+    mtime: entries of stopped applications are evicted on access (they
+    pinned DataFrames of dead sessions — r8 advice), and a cached
+    relation whose directory was deleted OR rewritten within the same
+    application (a completed rewrite leaves a FRESH _SUCCESS — r9
+    advice) is re-opened rather than served with a stale file index."""
     app = spark.sparkContext.applicationId
     for key in [k for k in _DPP_READ_CACHE if k[0] != app]:
         del _DPP_READ_CACHE[key]
-    df = _DPP_READ_CACHE.get((app, path))
-    if df is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
-        df = spark.read.parquet(path)
-        _DPP_READ_CACHE[(app, path)] = df
+    try:
+        stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        stamp = -1  # missing marker: never serve a memoized relation
+    hit = _DPP_READ_CACHE.get((app, path))
+    if hit is not None and stamp >= 0 and hit[0] == stamp:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _DPP_READ_CACHE[(app, path)] = (stamp, df)
     return df
 
 

@@ -200,6 +200,19 @@ def _exact_group_quantiles(
     high-cardinality measure. NULL measures are dropped, matching
     collect_list / Percentile; value-identical to the sorted-array
     small form (pytest-pinned, test_exact_quantile_tiers_bit_identical).
+
+    Caller contracts (r9 advice):
+    - the persisted counts relation is NOT unpersisted here (the
+      returned frame is lazy; unpersisting before materialization
+      would forfeit the share). The repo's harnesses clear the SQL
+      cache between queries; a long-lived library session declaring
+      this repeatedly should ``spark.catalog.clearCache()`` (or
+      unpersist the relation) between uses.
+    - the locate frame broadcast is |groups| x |specs| x 2 rows —
+      fine for low-cardinality group keys (the declared queries'), a
+      broadcast-OOM hazard for a high-cardinality ``key``; reuse with
+      many groups should drop the broadcast hint and let the pick
+      join shuffle.
     """
     from pyspark import StorageLevel
 
@@ -1309,17 +1322,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         local = _pagerank_trade_graph_local(spark, o, li)
         if local is not None:
             return local
+    # shuffle_hash: the orders build side is |orders|/partitions per
+    # task (no 60M-row lineitem sort); symmetrization via ONE explode,
+    # not unionAll(cs, swap(cs)) — the union's two arms each re-execute
+    # the whole join+distinct lineage (measured 2x the sf10 edge-build
+    # cost; the classic multi-consumer re-execution class)
     cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c"),
             (F.col("l_suppkey") + 1_000_000).alias("s"),
         )
         .distinct()
     )
-    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank_fixedpoint(
         edges,
         iters=_TRADE_PR_ITERS,

@@ -217,3 +217,28 @@ def fingerprint_cache_dir(sf_dir: str, kind: str, table: str) -> str:
         "smrgh_roundtrip",
         f"{kind}_{table}_{h.hexdigest()[:16]}",
     )
+
+
+def prune_layout_variants(current: str, kind_family: str, table: str) -> None:
+    """Best-effort GC of superseded roundtrip layouts (r9 advice):
+    kinds that embed a parallelism suffix (``csv8`` vs ``csv32``) or a
+    stale fixture fingerprint would otherwise accumulate one full
+    written copy per (parallelism, fixture-state) forever. Deletes
+    every sibling ``{family}[N]_{table}_{fp}`` dir other than
+    ``current`` — safe because the writes are idempotent (a concurrent
+    session with a different layout key just re-writes its copy)."""
+    import re
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "smrgh_roundtrip")
+    if not os.path.isdir(root):
+        return
+    pat = re.compile(
+        rf"^{re.escape(kind_family)}\d*_{re.escape(table)}_[0-9a-f]{{16}}$"
+    )
+    cur = os.path.abspath(current)
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if os.path.abspath(path) != cur and pat.match(name):
+            shutil.rmtree(path, ignore_errors=True)

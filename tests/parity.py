@@ -188,7 +188,7 @@ def run(
             # drop them explicitly; every query re-creates its own
             # checkpoints on execution.
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
+                jrdd.unpersist(True)
     return results
 
 
