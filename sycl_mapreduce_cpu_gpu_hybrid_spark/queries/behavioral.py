@@ -457,16 +457,29 @@ def graph_triangles(
                 )
 
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    # wedge endpoints PACK into one long (ids are < 2^24 — the same
+    # bound the ord total-order key already relies on): the closure
+    # exchange carries one column instead of two, and the probe joins
+    # on a single key
     wedges = o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
         & (F.col("o1.dst_ord") < F.col("o2.dst_ord")),
-    ).select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
+    ).select(
+        (F.shiftleft(F.col("o1.dst"), 25) + F.col("o2.dst")).alias("bc")
+    )
     # b precedes c in the total order, so the {b,c} edge — if it exists
-    # — is oriented b -> c: one directed probe closes the wedge
+    # — is oriented b -> c: one directed probe closes the wedge. The
+    # shuffle_hash hint is the r10 at-scale fix: the planner's default
+    # sort-merge SORTS the full wedge stream (|V| x avg_deg^2 rows —
+    # 733M at sf10, where the sort never finished inside 9 minutes);
+    # hash-exchanging it instead and building the |E|-row side per
+    # partition (|E|/P entries each) closed in 34s on the same fixture.
     closed = wedges.join(
-        o3,
-        (F.col("b") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+        o3.select(
+            (F.shiftleft(F.col("o3.src"), 25) + F.col("o3.dst")).alias("bc")
+        ).hint("shuffle_hash"),
+        "bc",
         "left_semi",
     )
     nodes = (
@@ -561,6 +574,66 @@ _TRANSITION_SQL = """
 # ----------------------------------------------------------------- RFM
 
 
+RFM_NTILE_LOCAL_MAX = 1_000_000  # customer-dimension ceiling for the
+# single-task global ntile windows; above it (or under the forced-
+# distributed switch) the two-phase exact-rank tier runs instead
+
+
+def _ntile_distributed(
+    df: DataFrame, k: int, sort_cols: list, out: str
+) -> DataFrame:
+    """Exact global ntile(k) WITHOUT a single-task sort — bit-identical
+    to ``F.ntile(k).over(Window.orderBy(*sort_cols))`` (pytest-pinned,
+    test_rfm_ntile_tiers_bit_identical): the classic two-phase
+    distributed ranking. Rows range-partition on the sort key (a total
+    order — callers include a unique tiebreak column), rank locally per
+    range partition (row_number over a pid window), and the global rank
+    is the local rank plus the broadcast cumulative count of all lower
+    ranges. The bucket then follows SQL ntile semantics exactly: with
+    n rows, the first n % k buckets hold ceil(n/k) rows, the rest
+    floor(n/k). Every stage is parallel and dimension-bounded — the
+    shape that survives a 1.5e8-customer dimension where the global
+    window serializes. The range exchange is consumed by both the
+    local-rank window and the per-range counts; plan-level exchange
+    reuse executes it once."""
+    sess = df.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_part, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
+    loc = ranged.withColumn("_lr", F.row_number().over(w_local))
+    cnt = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = cnt.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    # integer DIV throughout — float division would mis-bucket ranks
+    # near cut points once n outgrows a double's integer precision
+    bucket = F.expr(
+        f"""CAST(CASE
+            WHEN (_off + _lr) <= (_n % {k}) * (_n DIV {k} + 1)
+            THEN (_off + _lr - 1) DIV (_n DIV {k} + 1) + 1
+            ELSE (_n % {k})
+                 + (_off + _lr - (_n % {k}) * (_n DIV {k} + 1) - 1)
+                   DIV (_n DIV {k}) + 1
+        END AS INT)"""
+    )
+    return (
+        loc.join(F.broadcast(off), "_pid")
+        .withColumn(out, bucket)
+        .drop("_pid", "_lr", "_off", "_n")
+    )
+
+
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation:
     per-customer stats roll into ntile(5) buckets per dimension, and
@@ -570,11 +643,16 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical on both engines; no float sums in the hash).
     ntile ties break on custkey for determinism.
 
-    Scale note: the three ntile windows are global sorts — acceptable
-    because they run on the CUSTOMER aggregate (dimension-sized, ~1e7
-    rows at 100 TB facts), not the fact table; at larger dimensions
-    the cutoffs come from approx_percentile instead (same pattern as
-    agg_median_approx)."""
+    Scale tiers (r10, shared budget gate — plans/budget.py): up to
+    RFM_NTILE_LOCAL_MAX customers (metadata bound: the customer
+    table's parquet footer) the three ntile windows run as global
+    sorts — dimension-sized single tasks, the fastest plan at small
+    dimensions. Above the ceiling, or under SMRGH_FORCE_DISTRIBUTED,
+    each dimension ranks via _ntile_distributed (range partition +
+    local row_number + broadcast offsets) — EXACT, bit-identical to
+    ntile, fully parallel, so a 1.5e8-customer dimension at 100 TB
+    never serializes into one task. Same output either way
+    (equality-pinned in tests/test_budget_tiers.py)."""
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -596,16 +674,30 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "cents",
     )
-    r_w = Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    bucketed = rfm.select(
-        "o_custkey",
-        "cents",
-        F.ntile(5).over(r_w).alias("r_bucket"),
-        F.ntile(5).over(f_w).alias("f_bucket"),
-        F.ntile(5).over(m_w).alias("m_bucket"),
-    )
+    from ..plans.budget import table_rows, within_budget
+
+    try:
+        cust_bound = table_rows(sf_dir, "customer")
+    except FileNotFoundError:
+        cust_bound = None  # view-backed test dir: take the scale tier
+    dims = [
+        ([F.col("rec_days").asc(), F.col("o_custkey")], "r_bucket"),
+        ([F.col("freq").desc(), F.col("o_custkey")], "f_bucket"),
+        ([F.col("cents").desc(), F.col("o_custkey")], "m_bucket"),
+    ]
+    if within_budget(cust_bound, RFM_NTILE_LOCAL_MAX):
+        bucketed = rfm.select(
+            "o_custkey",
+            "cents",
+            *[
+                F.ntile(5).over(Window.orderBy(*cols)).alias(out)
+                for cols, out in dims
+            ],
+        )
+    else:
+        bucketed = rfm
+        for cols, out in dims:
+            bucketed = _ntile_distributed(bucketed, 5, cols, out)
     return bucketed.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
