@@ -412,6 +412,82 @@ def simhash_near_pairs(
     )
 
 
+# Bounded dense tier for UNCAPPED pair generation (the recall
+# certificates' truth replays, which are sample-budget-bounded by
+# construction): ceiling on total index memberships (sum of |ds|) and
+# on the dense incidence-matrix entries. Same cost-based-tier class as
+# the triangle gemm / CC union-find (plans/budget.py).
+NGRAM_DENSE_MAX_MEMBERSHIPS = 8_000_000
+NGRAM_DENSE_MAX_CELLS = 128_000_000
+
+
+def _ngram_pairs_dense(idx: DataFrame, threshold: float, id_type: str):
+    """Driver-local dense-gemm twin of the uncapped pair pipeline:
+    with no df cap, a duplicate-dense truth sample makes every hot
+    shingle emit C(df, 2) pair instances (measured 147M instances from
+    a 1975-doc sample at sf0.1 — ~16s of explode+count for 3.1M
+    distinct pairs), while the SAME intersection counts are one
+    incidence-matrix gemm: I = A @ A.T over docs x distinct-shingles
+    0/1 floats — exact in float32 (every partial sum is an integer
+    <= |shingles| << 2^24). Probes the persisted index (count-first on
+    memberships and matrix cells); None past either ceiling or under
+    the forced-distributed switch, falling through to the distributed
+    explode. Jaccard replicates the engine's round(x, 4) HALF_UP via
+    floor(x*1e4 + 0.5) — full-row equality vs the distributed twin is
+    pinned in tests/test_budget_tiers.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.budget import local_tier_enabled
+
+    if not local_tier_enabled(NGRAM_DENSE_MAX_MEMBERSHIPS):
+        return None
+    spark = idx.sparkSession
+    stats = idx.agg(
+        F.sum(F.size("ds")).alias("nnz"),
+        F.count(F.lit(1)).alias("nsh"),
+    ).first()
+    if not stats["nnz"]:
+        return spark.createDataFrame(
+            [], f"a {id_type}, b {id_type}, jaccard double"
+        )
+    if stats["nnz"] > NGRAM_DENSE_MAX_MEMBERSHIPS:
+        return None
+    # shingle id assigned BEFORE the explode so every member row of
+    # one index row shares it
+    member = (
+        idx.withColumn("s", F.monotonically_increasing_id())
+        .select(F.explode("ds").alias("d"), "s")
+        .toPandas()
+    )
+    doc_codes, doc_ids = pd.factorize(member["d"].to_numpy(), sort=True)
+    sh_codes = pd.factorize(member["s"].to_numpy(), sort=False)[0]
+    n_docs, n_sh = len(doc_ids), int(stats["nsh"])
+    if n_docs * n_sh > NGRAM_DENSE_MAX_CELLS:
+        return None
+    A = np.zeros((n_docs, n_sh), dtype=np.float32)
+    A[doc_codes, sh_codes] = 1.0
+    inter = A @ A.T
+    sizes = np.diag(inter).copy()
+    iu, ju = np.triu_indices(n_docs, 1)
+    iv = inter[iu, ju]
+    keep = iv > 0
+    iu, ju, iv = iu[keep], ju[keep], iv[keep].astype(np.float64)
+    union = sizes[iu] + sizes[ju] - iv
+    jac = np.floor(iv / union * 10000.0 + 0.5) / 10000.0
+    keep = jac >= threshold
+    out = pd.DataFrame(
+        {
+            "a": np.asarray(doc_ids, dtype=np.int64)[iu[keep]],
+            "b": np.asarray(doc_ids, dtype=np.int64)[ju[keep]],
+            "jaccard": jac[keep],
+        }
+    )
+    return spark.createDataFrame(
+        out, f"a {id_type}, b {id_type}, jaccard double"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 6,
@@ -473,6 +549,17 @@ def ngram_jaccard_pairs(
     if max_doc_freq_abs is not None:
         frac_cap = F.least(frac_cap, F.lit(max_doc_freq_abs))
     df_cap = F.greatest(F.lit(1), frac_cap)
+    # integer doc ids additionally ride the PACKED pair path below —
+    # the id-domain stats come from the same single-row aggregate as
+    # the df cap
+    id_type = dict(docs.dtypes)[id_col]
+    packed = id_type in ("tinyint", "smallint", "int", "bigint")
+    if packed:
+        n_docs = docs.agg(
+            F.countDistinct(F.col(id_col)).alias("_n"),
+            F.min(F.col(id_col)).alias("_mn"),
+            F.max(F.col(id_col)).alias("_mx"),
+        )
     idx = (
         sh.groupBy("shingle")
         # collect_set IS the per-shingle doc dedup — feeding it raw
@@ -480,47 +567,114 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
         .crossJoin(F.broadcast(n_docs))
         .where(F.size("ds") <= df_cap)
-        .select("ds")
     )
-    # one generate per index row: every (ds[i], ds[j]) i<j pair struct
-    # PLUS one size-marker struct (b NULL) per member doc — so sizes
-    # and intersections share a single explode and a single groupBy
-    id_type = dict(docs.dtypes)[id_col]
-    rows = idx.select(
-        F.explode(
-            F.expr(
-                "concat("
-                " flatten(transform(ds, (x, i) ->"
-                "  transform(slice(ds, i + 2, size(ds)),"
-                "   y -> struct(x AS a, y AS b)))),"
-                f" transform(ds, d -> struct(d AS a, CAST(NULL AS {id_type}) AS b)))"
-            )
-        ).alias("p")
-    )
-    agg = rows.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # agg feeds THREE consumers (intersections + both size join
-    # sides). AQE did reuse the count exchange for this shape at
-    # runtime, but reuse proved shape-dependent across the dedup
-    # family (minhash got 1 of 4) and evaporates under plan edits;
-    # persisting the post-count frame (candidate pairs + one marker
-    # row per doc — the smallest frame in the pipeline) makes the
-    # once-only evaluation explicit, deterministic, and pinned by
-    # tests/test_plans.py. Measured faster than the AQE-reuse path
-    # (~1.0s -> ~0.6s at sf0.1: consumers skip the final agg replay
-    # and the per-branch re-planning). Lifetime: outlives the returned
-    # lazy frame by design; harnesses clearCache() between queries
-    # (see minhash_lsh_pairs note).
+    if packed:
+        # refuse loudly (per surviving index row — a few-k predicate
+        # evaluations) rather than silently corrupt packed keys on an
+        # out-of-domain corpus; non-integer ids take the struct path
+        idx = idx.where(
+            F.when(
+                (F.col("_mn") < 0) | (F.col("_mx") >= F.lit(1 << 31)),
+                F.expr(
+                    "raise_error('ngram pair packing requires"
+                    " doc ids in [0, 2^31)')"
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+    # the index frame feeds TWO consumers (pair generation + sizes);
+    # it is the SMALLEST frame in the pipeline (distinct capped
+    # shingles x bounded doc arrays), so it carries the explicit
+    # persist — the r9 shape persisted the 130M-row post-count pair
+    # frame instead and fused size markers into the pair explode,
+    # which shuffled two-column structs for every candidate instance
+    # (219s of the sf10 wall lived in that explode+agg). Lifetime:
+    # outlives the returned lazy frame by design; harnesses
+    # clearCache() between queries (see minhash_lsh_pairs note).
     from pyspark import StorageLevel
 
-    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
-    inter = agg.where(F.col("b").isNotNull()).withColumnRenamed("cnt", "inter")
-    # sizes carry one row per surviving doc — big at corpus scale, so
-    # no broadcast hint: AQE picks broadcast when it measures small
-    sizes = agg.where(F.col("b").isNull())
+    idx = idx.select("ds").persist(StorageLevel.MEMORY_AND_DISK)
+    # uncapped = a bounded truth replay by construction: give it the
+    # dense-gemm tier (its hot uncapped shingles otherwise emit
+    # C(df, 2) pair instances each); the probe's index materialization
+    # is shared work — a fall-through leaves the persist warm for the
+    # distributed explode below
+    if max_doc_freq_abs is None and max_doc_freq_frac >= 1.0:
+        dense = _ngram_pairs_dense(idx, threshold, id_type)
+        if dense is not None:
+            return dense
+    # PACKED: every (ds[i], ds[j]) i<j pair as ONE long — primitive
+    # arrays through the explode (no per-pair struct allocation),
+    # 8-byte keys through the count exchange, ids unpack exactly
+    # (both components < 2^31, nonnegative — guarded above).
+    # Aggregation strategy follows the df cap. CAPPED (corpus-scale
+    # candidate generation): pairs are NEAR-UNIQUE (sf10: 315M
+    # instances -> 130M distinct, avg multiplicity 2.4), so a map-side
+    # partial aggregate builds partition-sized hash maps that spill
+    # for almost no volume reduction — measured 207s for that one agg
+    # at sf10; exchanging the raw keys and aggregating once
+    # co-partitioned runs the identical reduction in 25s (same
+    # exchange count — the repartition replaces the groupBy's own
+    # shuffle). UNCAPPED (the bounded truth replays): duplicate
+    # clusters are dense, a hot pair repeats once per shared shingle
+    # (multiplicity in the hundreds), and the map-side combine IS the
+    # volume reduction — forcing the raw exchange there measured
+    # 1 -> 16-40s at sf0.1. Both shapes produce identical counts.
+    capped = max_doc_freq_abs is not None or max_doc_freq_frac < 1.0
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    if packed:
+        rows = idx.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> x * CAST(2147483648 AS BIGINT) + y)))"
+                )
+            ).alias("pk")
+        )
+        if capped:
+            rows = rows.repartition(n_part, "pk")
+        inter = (
+            rows.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                F.expr("pk DIV 2147483648").cast(id_type).alias("a"),
+                F.expr("pk % 2147483648").cast(id_type).alias("b"),
+                "inter",
+            )
+        )
+    else:
+        rows = idx.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        if capped:
+            rows = rows.repartition(n_part, "a", "b")
+        inter = rows.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    # per-doc sizes (count of surviving index rows containing the doc,
+    # identical to the r9 marker-row formula) from their own tiny
+    # explode over the persisted index — sum(|ds|) rows, nothing near
+    # the pair stream's volume; persisted because both join sides
+    # read it. No broadcast hint: AQE picks broadcast when it
+    # measures small.
+    sizes = (
+        idx.select(F.explode("ds").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sz_a = sizes.select(F.col("a"), F.col("cnt").alias("na"))
     sz_b = sizes.select(F.col("a").alias("b"), F.col("cnt").alias("nb"))
+    # NOT persisted past here: the returned frame is the query's real
+    # work, and single-consumer callers (the pair query, cluster
+    # assembly's one canonical distinct) re-reading a cached output
+    # would turn their timed runs into cache reads. Multi-consumer
+    # callers own their share: _pair_recall_cert persists the truth
+    # and candidate sides it consumes twice.
     return (
         inter.join(sz_a, "a")
         .join(sz_b, "b")

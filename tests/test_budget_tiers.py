@@ -127,3 +127,19 @@ def test_ntile_distributed_matches_window_on_skew(spark, forced):
         )
         got = _rows(_ntile_distributed(df, 5, cols, "b").select("id", "b"))
         assert got == want, f"n={n}"
+
+
+def test_ngram_dense_tier_matches_distributed(spark, forced, monkeypatch):
+    """Uncapped ngram pairs (the truth-replay configuration) under the
+    switch run the distributed explode; without it the dense-gemm tier
+    answers — full rows including the rounded jaccard must match."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(k=6, threshold=0.6, max_doc_freq_frac=1.0, max_doc_freq_abs=None)
+    dist = _rows(ngram_jaccard_pairs(docs, **kw))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(ngram_jaccard_pairs(docs, **kw))
+    assert dist == local and len(dist) > 0
