@@ -386,8 +386,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import (
+        ensure_driver_memory,
+        get_spark,
+    )
 
+    # Scale the single-JVM heap to the fixture before launch (sf10's
+    # 64 GiB requirement as code, not folklore — r9 verdict task 7)
+    print(f"driver heap: {ensure_driver_memory(sf_dir)}", file=sys.stderr)
     # UI on for the bench session only: the REST status API is how
     # StageMetricsCapture reads per-stage shuffle/memory metrics
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})

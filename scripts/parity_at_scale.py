@@ -52,7 +52,12 @@ def main() -> None:
         )
     )
     import __spark_entry__ as entrymod
-    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import (
+        ensure_driver_memory,
+        get_spark,
+    )
+
+    print(f"driver heap: {ensure_driver_memory(sf_dir)}")
 
     done: dict[str, dict] = {}
     if resume and os.path.exists(out_path):

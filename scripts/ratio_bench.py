@@ -16,13 +16,17 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark  # noqa: E402
+from sycl_mapreduce_cpu_gpu_hybrid_spark.session import (  # noqa: E402
+    ensure_driver_memory,
+    get_spark,
+)
 from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])  # optional query-name subset
+    print(f"driver heap: {ensure_driver_memory(sf_dir)}")
     spark = get_spark(app_name="ratio")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

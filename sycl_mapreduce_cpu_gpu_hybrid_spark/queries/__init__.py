@@ -44,65 +44,59 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # r9 structural rewrites FIRST — these queries' physical plans
-    # changed this round, so the driver's r9 sample must re-green them
-    # under the new plans (local strict parity already passes at
-    # sf0.01 + the derived sf1 for each): value-counts MAD pipeline,
-    # scan-side RFM anchor, shuffle_hash Q18 build, per-row session
-    # boundaries, two-phase bucket-locate exact quantiles, rsd-0.02
-    # HLL contract, spread roundtrip layouts.
-    "events_anomaly_mad",
+    # r10 structural rewrites FIRST — these queries' physical plans
+    # changed this round, so the driver's r10 sample must re-green
+    # them under the new plans (strict parity re-verified locally at
+    # sf0.01 + the derived sf1 for each): co-partitioned PageRank
+    # loop, hash-join triangle closure + degree orientation, packed
+    # ngram pair keys with cap-aware aggregation, star-contraction
+    # clusters over the reworked pair stream, distributed exact-ntile
+    # RFM tier, and the _SUCCESS-mtime DPP memo / roundtrip layout GC.
+    "graph_pagerank",
+    "graph_triangles",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "corpus_curate",
     "orders_rfm",
-    "tpch_q18_volume_customers",
-    "events_concurrency",
-    "agg_median",
-    "agg_median_approx",
-    "agg_approx_distinct",
+    "join_partition_pruned",
     "source_csv_roundtrip",
     "source_json_roundtrip",
-    "graph_pagerank",
-    "join_partition_pruned",
-    # r9 rotation (r8 verdict task 7): the names whose LATEST green
-    # driver evidence is oldest — the ~40 queries last sampled in r6,
-    # covered by neither the r7 nor the r8 sample (derived by
-    # replaying the CORRECTNESS_r0*.json ledgers; re-derive and rotate
-    # each round).
-    "agg_grouping_sets",
-    "agg_mode_pack",
-    "corpus_decontaminate",
-    "corpus_pack_tokens",
-    "corpus_sample_stratified",
-    "corpus_temperature_weights",
-    "dedup_incremental",
-    "dq_audit",
-    "embedding_norm_stats",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_gapfill",
-    "events_histogram",
-    "events_rolling_7d",
-    "events_rolling_distinct",
-    "events_top_paths",
-    "events_transition_matrix",
-    "events_zorder_key",
-    "join_exists_correlated",
-    "join_point_in_time",
-    "join_runtime_filtered",
-    "merge_upsert",
-    "orders_yoy_growth",
-    "pareto_revenue",
-    "scd2_order_priority",
-    "stream_cdc_upsert",
-    "text_bigram_lm",
-    "text_chunk_sliding",
-    "text_inverted_index",
-    "text_unigram_surprise",
-    "tpch_q14_promo_share",
-    "tpch_q3_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast_revenue",
-    "window_distribution_pack",
+    # r10 rotation (r9 verdict task 6): the 32 names whose LATEST
+    # green driver evidence is r7 — derived by replaying
+    # CORRECTNESS_r01–r09; re-derive and rotate each round so no
+    # name's evidence goes stale.
+    "agg_count_distinct",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup_cube",
+    "asof_last_purchase",
+    "corpus_mix_schedule",
+    "dedup_editdistance_verify",
+    "embedding_quantize_int8",
+    "filter_project_cast",
+    "join_anti",
+    "join_bucketed_colocated",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_multi_broadcast",
+    "join_range_band",
+    "join_scalar_subquery",
+    "join_semi",
+    "multimodal_audio_stats",
+    "multimodal_decode_resize",
+    "multimodal_frame_sample",
+    "predicates_case_pack",
+    "relational_unpivot",
+    "skew_salted_agg",
+    "sort_multikey",
+    "source_orc_roundtrip",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "text_repetition",
+    "topk_orders",
+    "udtf_top_words",
+    "window_frames_pack",
+    "window_latest_order",
 ]
 
 

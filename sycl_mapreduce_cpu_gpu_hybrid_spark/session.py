@@ -13,6 +13,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_driver_memory(sf_dir: str) -> str:
+    """Pin the local-mode heap to the fixture size instead of folklore.
+
+    In local mode the driver and all executor threads share ONE JVM
+    heap, so a fixture that a 1000-executor cluster would spread across
+    nodes lands in a single process here. The sf10 spot run (2.4 GB
+    fixture) measured 16g dying in an LSH expansion and 64g healthy —
+    ~26 heap-bytes per fixture-byte across 32 threads. Apply that
+    measured slope, rounded up to 8 GiB steps, whenever the caller has
+    not set ``SPARK_GRAFT_DRIVER_MEM`` explicitly; an explicit env
+    value always wins. Must run BEFORE the session is built (driver
+    memory is immutable after JVM launch). Returns the heap string in
+    effect so harnesses can log it.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if explicit:
+        return explicit
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            path = os.path.join(sf_dir, name)
+            if os.path.isfile(path):
+                total += os.path.getsize(path)
+    except OSError:
+        return "16g"
+    gib = total / (1 << 30)
+    need = max(16, -(-int(gib * 26) // 8) * 8)  # ceil to 8 GiB steps
+    heap = f"{need}g"
+    if need > 16:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
+    return heap
+
+
 def get_spark(
     app_name: str = "sycl_mapreduce_spark",
     cpus: int | None = None,

@@ -120,3 +120,36 @@ def test_write_attempt_reference_ledger_format(tmp_path):
     assert "Attempt 2: Fail -syserror (signal 9)" in text
     assert "Attempt 3: Fail -missing" in text
     assert text.count("--------------------------------") == 3
+
+
+def test_ensure_driver_memory_scales_heap_to_fixture(tmp_path, monkeypatch):
+    """The sf10 driver-heap requirement is code, not folklore (r9
+    verdict task 7): a ~2.4 GB fixture must predict the measured 64g
+    local-mode heap, small fixtures keep the 16g default, and an
+    explicit SPARK_GRAFT_DRIVER_MEM always wins."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.session import ensure_driver_memory
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    # small fixture: stays at the default, env untouched
+    small = tmp_path / "sf_small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert ensure_driver_memory(str(small)) == "16g"
+    assert "SPARK_GRAFT_DRIVER_MEM" not in __import__("os").environ
+
+    # sf10-sized fixture (2.4 GB total, sparse files to avoid real IO)
+    big = tmp_path / "sf_big"
+    big.mkdir()
+    with open(big / "lineitem.parquet", "wb") as fh:
+        fh.seek(int(2.4 * (1 << 30)) - 1)
+        fh.write(b"\0")
+    assert ensure_driver_memory(str(big)) == "64g"
+    assert __import__("os").environ["SPARK_GRAFT_DRIVER_MEM"] == "64g"
+
+    # explicit env wins regardless of fixture size
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "8g")
+    assert ensure_driver_memory(str(big)) == "8g"
+
+    # unreadable dir: safe default
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    assert ensure_driver_memory(str(tmp_path / "absent")) == "16g"
