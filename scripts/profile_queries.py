@@ -18,7 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from sycl_mapreduce_cpu_gpu_hybrid_spark.session import get_spark  # noqa: E402
+from sycl_mapreduce_cpu_gpu_hybrid_spark.session import (  # noqa: E402
+    ensure_driver_memory,
+    get_spark,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -26,6 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_plan = "--plan" in sys.argv
+    print(f"driver heap: {ensure_driver_memory(SF_DIR)}")
     spark = get_spark(app_name="profile")
     sc = spark.sparkContext
     spark.sparkContext.setLogLevel("ERROR")

@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_jaccard_pair_graph,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,

@@ -488,49 +488,89 @@ def _ngram_pairs_dense(idx: DataFrame, threshold: float, id_type: str):
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_rep_core(
     docs: DataFrame,
-    k: int = 6,
-    threshold: float = 0.6,
-    max_doc_freq_frac: float = 0.02,
-    max_doc_freq_abs: int | None = 500,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact shingle-Jaccard pairs via a compact inverted index.
+    k: int,
+    threshold: float,
+    max_doc_freq_frac: float,
+    max_doc_freq_abs: int | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared body of the exact shingle-Jaccard family, computed at
+    CONTENT-CONTRACTED grain (r10): byte-identical documents are
+    grouped on md5(text) and the whole shingle/pair pipeline runs
+    over one representative (min id) per distinct content, with each
+    shingle's document frequency WEIGHTED by its group size — so the
+    df cap drops exactly the shingles the uncontracted pipeline
+    drops, intersections/sizes/jaccard are exactly the uncontracted
+    values (identical texts have identical shingle sets), and the
+    rep-grain pair set expands losslessly back to the member-grain
+    set (ngram_jaccard_pairs) or to a connectivity-equivalent edge
+    set (ngram_jaccard_pair_graph).
 
-    One explode feeds ONE aggregation building the inverted index
-    ``shingle -> sorted set of doc_ids`` (collect_set is the distinct
-    — no separate dedup shuffle, and the exploded rows are touched
-    exactly once; the naive formulation recomputes the explode for
-    the hot-list, the sizes, and both join sides). Everything else
-    derives from the index, which is tiny (distinct-shingle count,
-    not instance count):
+    Why contract: exact duplicates dominate real corpora (and the
+    derived scale fixtures: 500k rows -> 94.8k distinct texts at the
+    10x fixture), and every copy multiplies shingle df — candidate
+    pair instances grow as C(df, 2), i.e. QUADRATICALLY in the copy
+    count. Contracting first is the same exact-dedup-before-near-dup
+    staging every production pipeline runs; here it is folded inside
+    the operator so the declared query semantics are unchanged.
+    Grouping is on the 128-bit md5 of the RAW text (fixed-width
+    shuffle key; same exactness contract as exact_dedup). Documents
+    with NULL text produce no shingles and no pairs in either form;
+    they drop out of the contraction mapping by design.
 
-    - stop-shingle removal: index rows with df > ``max_doc_freq_frac``
-      x n_docs are dropped, so boilerplate n-grams cannot produce a
-      quadratic bucket; per-shingle pair fan-out is bounded by df_cap;
-    - candidate pairs are generated per index row from the sorted
-      doc array (i<j positions, so a<b with no filter), then counted;
-    - pair rows AND per-doc size markers (b NULL) come out of the SAME
-      explode and flow through one count aggregation, so the whole
-      expensive lineage sits below a single small exchange: the three
-      downstream consumers (pairs, both size join sides) each replay
-      only that exchange (AQE stage reuse) plus a count over
-      pairs+docs rows — the index aggregation itself runs once, not
-      once per consumer.
-
-    This is the exact-verify stage run after LSH at scale; here it is
-    also a standalone DuckDB-oracleable query.
+    Returns ``(core, groups, sizes)``: rep-grain pairs
+    (a, b, jaccard) with a < b; the persisted per-content groups
+    frame (_rep = min member id, _w = copy count, _members = sorted
+    member ids); and the persisted rep-grain surviving-shingle sizes
+    (a=rep, cnt). Persist lifetime follows the idx contract below
+    (harnesses clearCache between queries). The _members array is one
+    row per DISTINCT content with length = its copy count — the same
+    grain every collect_set in this pipeline already lives at; a
+    corpus where one content repeats beyond array limits would need a
+    row-form mapping instead (the expansion output is quadratic in
+    that count anyway, so such a corpus is pathological for the
+    declared pair semantics, not for the contraction).
     """
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ch"))
+    # ONE aggregation yields rep (= first of the sorted members), copy
+    # count, and the member list for expansion — no join back to docs.
+    # The shuffle carries (16B hash, 8B id), never text. Persisted:
+    # consumed by rep_docs, both expansion sides, and star edges.
+    groups = (
+        hashed.groupBy("_ch")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_members"))
+        .select(
+            F.element_at("_members", 1).alias("_rep"),
+            F.size("_members").cast("bigint").alias("_w"),
+            "_members",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # one doc per distinct content, carrying its group weight; the
+    # join is on the id column (the rep side is |distinct contents|
+    # rows — AQE broadcasts it while small, shuffles both at scale)
+    rep_docs = (
+        docs.select(id_col, text_col)
+        .join(
+            groups.select(F.col("_rep").alias("__rid"), "_w"),
+            F.col(id_col) == F.col("__rid"),
+        )
+        .drop("__rid")
+    )
     sh = kmer_explode(
-        docs.select(id_col, text_col),
+        rep_docs,
         k=k,
         text_col=text_col,
-        keep_cols=[id_col],
+        keep_cols=[id_col, "_w"],
         enforce_reference_cap=False,
         spread=True,
-    ).select(id_col, F.col("word").alias("shingle"))
+    ).select(id_col, "_w", F.col("word").alias("shingle"))
     # df cap as a lazy broadcast scalar (one 1-row aggregate inside the
     # same DAG — no eager driver-side count at plan-construction time),
     # clamped to >= 1 so corpora under 1/max_doc_freq_frac docs don't
@@ -562,11 +602,27 @@ def ngram_jaccard_pairs(
         )
     idx = (
         sh.groupBy("shingle")
-        # collect_set IS the per-shingle doc dedup — feeding it raw
-        # shingle instances avoids a whole extra distinct shuffle
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
+        # collect_set IS the per-shingle rep dedup — feeding it raw
+        # shingle instances avoids a whole extra distinct shuffle.
+        # (rep, w) structs: w is constant per rep, so the set is the
+        # distinct reps; sort_array orders by the struct's first
+        # field (the unique rep id), so the transform below yields
+        # the sorted rep array the pair explode requires.
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("_w").alias("w")))
+            ).alias("dw")
+        )
         .crossJoin(F.broadcast(n_docs))
-        .where(F.size("ds") <= df_cap)
+        # WEIGHTED df: sum of group sizes over the reps containing
+        # the shingle == the uncontracted pipeline's distinct-doc
+        # count for it, so the cap keeps/drops exactly the same
+        # shingles the oracle's uncontracted replay keeps/drops
+        .where(
+            F.expr("aggregate(dw, CAST(0 AS BIGINT), (acc, x) -> acc + x.w)")
+            <= df_cap
+        )
+        .withColumn("ds", F.expr("transform(dw, x -> x.i)"))
     )
     if packed:
         # refuse loudly (per surviving index row — a few-k predicate
@@ -593,6 +649,18 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     idx = idx.select("ds").persist(StorageLevel.MEMORY_AND_DISK)
+    # rep-grain sizes (count of surviving index rows containing the
+    # rep — identical to any member's uncontracted size) from their
+    # own tiny explode over the persisted index; persisted because
+    # three consumers read it (both jaccard join sides + the
+    # surviving-content gate for identical-pair expansion / stars).
+    # No broadcast hint: AQE picks broadcast when it measures small.
+    sizes = (
+        idx.select(F.explode("ds").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # uncapped = a bounded truth replay by construction: give it the
     # dense-gemm tier (its hot uncapped shingles otherwise emit
     # C(df, 2) pair instances each); the probe's index materialization
@@ -601,7 +669,7 @@ def ngram_jaccard_pairs(
     if max_doc_freq_abs is None and max_doc_freq_frac >= 1.0:
         dense = _ngram_pairs_dense(idx, threshold, id_type)
         if dense is not None:
-            return dense
+            return dense, groups, sizes
     # PACKED: every (ds[i], ds[j]) i<j pair as ONE long — primitive
     # arrays through the explode (no per-pair struct allocation),
     # 8-byte keys through the count exchange, ids unpack exactly
@@ -655,18 +723,6 @@ def ngram_jaccard_pairs(
         if capped:
             rows = rows.repartition(n_part, "a", "b")
         inter = rows.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
-    # per-doc sizes (count of surviving index rows containing the doc,
-    # identical to the r9 marker-row formula) from their own tiny
-    # explode over the persisted index — sum(|ds|) rows, nothing near
-    # the pair stream's volume; persisted because both join sides
-    # read it. No broadcast hint: AQE picks broadcast when it
-    # measures small.
-    sizes = (
-        idx.select(F.explode("ds").alias("a"))
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     sz_a = sizes.select(F.col("a"), F.col("cnt").alias("na"))
     sz_b = sizes.select(F.col("a").alias("b"), F.col("cnt").alias("nb"))
     # NOT persisted past here: the returned frame is the query's real
@@ -675,7 +731,7 @@ def ngram_jaccard_pairs(
     # would turn their timed runs into cache reads. Multi-consumer
     # callers own their share: _pair_recall_cert persists the truth
     # and candidate sides it consumes twice.
-    return (
+    core = (
         inter.join(sz_a, "a")
         .join(sz_b, "b")
         .select(
@@ -687,6 +743,120 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return core, groups, sizes
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 6,
+    threshold: float = 0.6,
+    max_doc_freq_frac: float = 0.02,
+    max_doc_freq_abs: int | None = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs (a, b, jaccard) with a < b via a
+    compact inverted index over CONTENT-CONTRACTED documents
+    (_ngram_rep_core): one explode feeds one aggregation building
+    ``shingle -> sorted reps``, stop-shingles are dropped by a
+    WEIGHTED df cap (``max_doc_freq_frac`` x n_docs, min'd with
+    ``max_doc_freq_abs``), candidate pairs explode per index row
+    from the sorted rep array, and one count aggregation yields
+    intersections. The rep-grain pair set then expands losslessly:
+
+    - cross-content: every (member of a's group) x (member of b's
+      group) pair carries the rep pair's jaccard — identical texts
+      have identical shingle sets, so the uncontracted pipeline
+      computes exactly this value for every such pair;
+    - within-content: all C(w, 2) member pairs of a duplicate group
+      whose content kept >= 1 surviving shingle get jaccard 1.0 —
+      exactly the pairs the uncontracted pipeline emits for them
+      (identical sets, intersection == union); a group whose every
+      shingle was cap-dropped shares no surviving shingle, so it
+      emits nothing in either form.
+
+    This is the exact-verify stage run after LSH at scale; here it
+    is also a standalone DuckDB-oracleable query (the oracle replays
+    the UNCONTRACTED formulation — outputs are bit-identical).
+    """
+    core, groups, sizes = _ngram_rep_core(
+        docs, k, threshold, max_doc_freq_frac, max_doc_freq_abs, text_col, id_col
+    )
+    # cross-content: one explode over the member-array product per rep
+    # pair (single generator, JVM-side; both group sides come from the
+    # persisted groups frame — AQE broadcasts them while small)
+    ga = groups.select(F.col("_rep").alias("a"), F.col("_members").alias("_mas"))
+    gb = groups.select(F.col("_rep").alias("b"), F.col("_members").alias("_mbs"))
+    cross = (
+        core.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_mas, x -> transform(_mbs,"
+                    " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p"),
+            "jaccard",
+        )
+        .select("p.a", "p.b", "jaccard")
+    )
+    # within-content: C(w, 2) pairs per surviving duplicate group via
+    # the same sorted-slice trick as the packed pair explode (members
+    # are sorted, so x < y positionally — no filter)
+    surviving = sizes.select(F.col("a").alias("_rep"))
+    intra = (
+        groups.where(F.col("_w") >= 2)
+        .join(surviving, "_rep", "left_semi")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_members, (x, i) ->"
+                    " transform(slice(_members, i + 2, size(_members)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
+
+
+def ngram_jaccard_pair_graph(
+    docs: DataFrame,
+    k: int = 6,
+    threshold: float = 0.6,
+    max_doc_freq_frac: float = 0.02,
+    max_doc_freq_abs: int | None = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connectivity-equivalent edge set (a, b) for clustering
+    consumers: rep-rep near-dup edges plus rep->member star edges for
+    duplicate groups whose content kept >= 1 surviving shingle.
+    connected_components over this graph yields EXACTLY the labels of
+    connected_components over the full ngram_jaccard_pairs output —
+    every member connects to its rep (jaccard-1.0 pairs in the full
+    set), every cross-content pair is represented by its rep edge,
+    and the rep is its group's min id so component minima are
+    unchanged — while the edge count scales with DISTINCT contents,
+    not with copies (C(w, 2) identical-pair cliques collapse to w-1
+    stars). This is the contract-then-cluster staging a 100 TB dedup
+    actually runs."""
+    core, groups, sizes = _ngram_rep_core(
+        docs, k, threshold, max_doc_freq_frac, max_doc_freq_abs, text_col, id_col
+    )
+    surviving = sizes.select(F.col("a").alias("_rep"))
+    stars = (
+        groups.where(F.col("_w") >= 2)
+        .join(surviving, "_rep", "left_semi")
+        .select(
+            F.col("_rep").alias("a"),
+            # members are sorted with the rep first: slice off element 1
+            F.explode(F.expr("slice(_members, 2, size(_members))")).alias("b"),
+        )
+    )
+    return core.select("a", "b").unionByName(stars)
 
 
 # Edge-count ceiling for the driver-local union-find fast path: 500k

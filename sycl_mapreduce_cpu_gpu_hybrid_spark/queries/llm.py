@@ -40,6 +40,7 @@ from ..operators.dedup import (
     embedding_lsh_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pair_graph,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -157,8 +158,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier) -> connected components -> every clustered doc labeled with
     its component's min doc id (the canonical survivor). Oracled via a
     DuckDB recursive CTE computing the same min-label closure over the
-    same pair set."""
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=6, threshold=0.6)
+    same pair set. Runs CC over the connectivity-equivalent contracted
+    pair graph (ngram_jaccard_pair_graph) — identical labels, edge
+    count scaling with distinct contents instead of copies."""
+    pairs = ngram_jaccard_pair_graph(_docs(spark, sf_dir), k=6, threshold=0.6)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
@@ -232,7 +235,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
     dropped = (
-        connected_components(ngram_jaccard_pairs(d, k=6, threshold=0.6))
+        connected_components(ngram_jaccard_pair_graph(d, k=6, threshold=0.6))
         .where(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"))
     )

@@ -285,3 +285,117 @@ def test_connected_components_random_vs_union_find(spark):
             r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+# ---------------------------------------------------------------- r10:
+# content contraction: the whole ngram family runs at distinct-content
+# grain (md5 groups, weighted df) and must stay BIT-IDENTICAL to the
+# uncontracted semantics the DuckDB oracle replays. Brute-force
+# reference mirrors _NGRAM_PAIRS_SQL: substr shingles, df cap over
+# DOC count (not content count), HALF_UP jaccard rounding.
+
+
+def _brute_ngram_pairs(rows, k=6, threshold=0.6, frac=0.02, cap=500):
+    import math
+
+    sets = {
+        i: ({t[j : j + k] for j in range(len(t) - k + 1)} if t and len(t) >= k else set())
+        for i, t in rows
+    }
+    n = len(sets)
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    capv = math.floor(frac * n)
+    if cap is not None:
+        capv = min(capv, cap)
+    capv = max(1, capv)
+    kept = {i: {g for g in s if df[g] <= capv} for i, s in sets.items()}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(kept[a] & kept[b])
+            if not inter:
+                continue
+            na, nb = len(kept[a]), len(kept[b])
+            j = math.floor(inter / (na + nb - inter) * 10000 + 0.5) / 10000
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark):
+    """Corpus with the duplicate structure contraction must handle:
+    a 4-copy group, a 3-copy group near-dup to it, a 12-copy group
+    whose every shingle is cap-dropped (df 12 > abs cap 10), singletons,
+    and one doc with text shorter than k (empty shingle set)."""
+    rng = random.Random(23)
+    rows = []
+    for i in range(8):  # singletons
+        rows.append((i, _mk_doc(rng)))
+    base = _mk_doc(rng)
+    for i in range(4):  # exact 4-copy group, reps at min id
+        rows.append((100 + i, base))
+    near = _mutate(rng, base, n_edits=8)
+    for i in range(3):  # 3-copy group, near-dup of the 4-copy group
+        rows.append((200 + i, near))
+    hot = _mk_doc(rng)
+    for i in range(12):  # 12 copies: df 12 > cap 10 -> fully capped
+        rows.append((300 + i, hot))
+    rows.append((400, "tiny"))  # shorter than k=6
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ngram_contraction_matches_bruteforce(dup_heavy):
+    rows = [(r["doc_id"], r["text"]) for r in dup_heavy.collect()]
+    want = _brute_ngram_pairs(rows, frac=0.5, cap=10)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            dup_heavy, threshold=0.6, max_doc_freq_frac=0.5, max_doc_freq_abs=10
+        ).collect()
+    }
+    assert got == want
+    # the fully-capped 12-copy group must emit nothing (no surviving
+    # shingle -> no identical pairs either), and the 4-copy group must
+    # emit all C(4,2) jaccard-1.0 pairs plus 4x3 cross pairs to the
+    # 3-copy group's members when the rep pair clears the threshold
+    assert not [p for p in got if p[0] >= 300]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(100 + i, 100 + j)] == 1.0
+
+
+def test_ngram_contraction_string_id_fallback(spark, dup_heavy):
+    """Non-integer ids take the struct (unpacked) pair path; the
+    contraction must produce the same pair set there too."""
+    docs = dup_heavy.select(
+        F.format_string("d%04d", F.col("doc_id")).alias("doc_id"), "text"
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _brute_ngram_pairs(rows, frac=0.5, cap=10)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.6, max_doc_freq_frac=0.5, max_doc_freq_abs=10
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pair_graph_components_match_full_pairs(dup_heavy):
+    """CC over the contracted pair graph == CC over the full pair set
+    (same components, same min labels, same vertex universe)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pair_graph,
+    )
+
+    kw = dict(threshold=0.6, max_doc_freq_frac=0.5, max_doc_freq_abs=10)
+    full = connected_components(ngram_jaccard_pairs(dup_heavy, **kw))
+    graph = connected_components(ngram_jaccard_pair_graph(dup_heavy, **kw))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, graph.collect()))
