@@ -1326,14 +1326,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (no 60M-row lineitem sort); symmetrization via ONE explode,
     # not unionAll(cs, swap(cs)) — the union's two arms each re-execute
     # the whole join+distinct lineage (measured 2x the sf10 edge-build
-    # cost; the classic multi-consumer re-execution class)
+    # cost; the classic multi-consumer re-execution class).
+    # PACKED dedup (r10): (cust, supp) instances off the join are
+    # near-unique-per-partition (a customer's orders scatter across
+    # the orderkey-partitioned stream), so groupBy-distinct's map-side
+    # hash tables spill for little volume reduction — the same
+    # pathology the ngram pair agg hit. Pack both ids into one long,
+    # exchange the raw 8-byte keys, and dedup once co-partitioned:
+    # sf10 edge build 33-79s -> ~22s, and stable across runs. The
+    # raise_error guard refuses id domains past 2^31 instead of
+    # silently corrupting packed keys (same contract as the ngram
+    # packer); suppkey offset keeps s in-domain alongside c.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pk_expr = F.when(
+        (F.col("o_custkey") < 0)
+        | (F.col("o_custkey") >= F.lit(1 << 31))
+        | (F.col("l_suppkey") + 1_000_000 >= F.lit(1 << 31))
+        | (F.col("l_suppkey") < 0),
+        F.expr(
+            "raise_error('pagerank packed edge build requires"
+            " ids in [0, 2^31))')"
+        ).cast("bigint"),
+    ).otherwise(
+        F.col("o_custkey") * F.lit(1 << 31).cast("bigint")
+        + F.col("l_suppkey")
+        + 1_000_000
+    )
     cs = (
         li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .select(pk_expr.alias("pk"))
+        .repartition(n_part, "pk")
+        .dropDuplicates(["pk"])
         .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1_000_000).alias("s"),
+            F.expr("pk DIV 2147483648").alias("c"),
+            F.expr("pk % 2147483648").alias("s"),
         )
-        .distinct()
     )
     edges = cs.select(
         F.explode(
