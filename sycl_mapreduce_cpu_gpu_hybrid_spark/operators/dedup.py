@@ -522,11 +522,13 @@ def _ngram_rep_core(
     they drop out of the contraction mapping by design.
 
     Returns ``(core, groups, sizes)``: rep-grain pairs
-    (a, b, jaccard) with a < b; the persisted per-content groups
-    frame (_rep = min member id, _w = copy count, _members = sorted
-    member ids); and the persisted rep-grain surviving-shingle sizes
-    (a=rep, cnt). Persist lifetime follows the idx contract below
-    (harnesses clearCache between queries). The _members array is one
+    (a, b, jaccard, _mas, _mbs) with a < b and both member arrays
+    already attached (they ride the jaccard size-joins, so expansion
+    is pure projection); the persisted per-content groups frame
+    (_rep = min member id, _w = copy count, _members = sorted member
+    ids); and the persisted rep-grain surviving-shingle sizes
+    (a=rep, cnt, _members). Persist lifetime follows the idx contract
+    below (harnesses clearCache between queries). The _members array is one
     row per DISTINCT content with length = its copy count — the same
     grain every collect_set in this pipeline already lives at; a
     corpus where one content repeats beyond array limits would need a
@@ -541,7 +543,7 @@ def _ngram_rep_core(
     # ONE aggregation yields rep (= first of the sorted members), copy
     # count, and the member list for expansion — no join back to docs.
     # The shuffle carries (16B hash, 8B id), never text. Persisted:
-    # consumed by rep_docs, both expansion sides, and star edges.
+    # consumed by rep_docs (inside the idx build) and the sizes join.
     groups = (
         hashed.groupBy("_ch")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_members"))
@@ -651,14 +653,19 @@ def _ngram_rep_core(
     idx = idx.select("ds").persist(StorageLevel.MEMORY_AND_DISK)
     # rep-grain sizes (count of surviving index rows containing the
     # rep — identical to any member's uncontracted size) from their
-    # own tiny explode over the persisted index; persisted because
-    # three consumers read it (both jaccard join sides + the
-    # surviving-content gate for identical-pair expansion / stars).
-    # No broadcast hint: AQE picks broadcast when it measures small.
+    # own tiny explode over the persisted index, JOINED with the
+    # member arrays once here so the expansion downstream needs ZERO
+    # extra joins per run (the jaccard joins below already deliver
+    # the arrays alongside na/nb, and the intra/star explodes read
+    # this frame directly — its rows ARE the surviving reps, so no
+    # separate surviving-gate semi-join either). Persisted: consumed
+    # by both jaccard join sides and the intra/star branch. No
+    # broadcast hint: AQE picks broadcast when it measures small.
     sizes = (
         idx.select(F.explode("ds").alias("a"))
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(groups.select(F.col("_rep").alias("a"), "_members"), "a")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # uncapped = a bounded truth replay by construction: give it the
@@ -669,7 +676,18 @@ def _ngram_rep_core(
     if max_doc_freq_abs is None and max_doc_freq_frac >= 1.0:
         dense = _ngram_pairs_dense(idx, threshold, id_type)
         if dense is not None:
-            return dense, groups, sizes
+            # attach the member arrays the expansion expects (the
+            # dense frame is a driver-local k-row result — two
+            # broadcast joins of nothing)
+            core = dense.join(
+                sizes.select("a", F.col("_members").alias("_mas")), "a"
+            ).join(
+                sizes.select(
+                    F.col("a").alias("b"), F.col("_members").alias("_mbs")
+                ),
+                "b",
+            )
+            return core, groups, sizes
     # PACKED: every (ds[i], ds[j]) i<j pair as ONE long — primitive
     # arrays through the explode (no per-pair struct allocation),
     # 8-byte keys through the count exchange, ids unpack exactly
@@ -723,8 +741,14 @@ def _ngram_rep_core(
         if capped:
             rows = rows.repartition(n_part, "a", "b")
         inter = rows.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
-    sz_a = sizes.select(F.col("a"), F.col("cnt").alias("na"))
-    sz_b = sizes.select(F.col("a").alias("b"), F.col("cnt").alias("nb"))
+    sz_a = sizes.select(
+        F.col("a"), F.col("cnt").alias("na"), F.col("_members").alias("_mas")
+    )
+    sz_b = sizes.select(
+        F.col("a").alias("b"),
+        F.col("cnt").alias("nb"),
+        F.col("_members").alias("_mbs"),
+    )
     # NOT persisted past here: the returned frame is the query's real
     # work, and single-consumer callers (the pair query, cluster
     # assembly's one canonical distinct) re-reading a cached output
@@ -740,6 +764,8 @@ def _ngram_rep_core(
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
             ).alias("jaccard"),
+            "_mas",
+            "_mbs",
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -779,35 +805,27 @@ def ngram_jaccard_pairs(
     is also a standalone DuckDB-oracleable query (the oracle replays
     the UNCONTRACTED formulation — outputs are bit-identical).
     """
-    core, groups, sizes = _ngram_rep_core(
+    core, _groups, sizes = _ngram_rep_core(
         docs, k, threshold, max_doc_freq_frac, max_doc_freq_abs, text_col, id_col
     )
     # cross-content: one explode over the member-array product per rep
-    # pair (single generator, JVM-side; both group sides come from the
-    # persisted groups frame — AQE broadcasts them while small)
-    ga = groups.select(F.col("_rep").alias("a"), F.col("_members").alias("_mas"))
-    gb = groups.select(F.col("_rep").alias("b"), F.col("_members").alias("_mbs"))
-    cross = (
-        core.join(ga, "a")
-        .join(gb, "b")
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_mas, x -> transform(_mbs,"
-                    " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
-                )
-            ).alias("p"),
-            "jaccard",
-        )
-        .select("p.a", "p.b", "jaccard")
-    )
+    # pair — the arrays arrived with the jaccard joins inside core, so
+    # this is pure projection, no extra join or exchange
+    cross = core.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_mas, x -> transform(_mbs,"
+                " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p"),
+        "jaccard",
+    ).select("p.a", "p.b", "jaccard")
     # within-content: C(w, 2) pairs per surviving duplicate group via
     # the same sorted-slice trick as the packed pair explode (members
-    # are sorted, so x < y positionally — no filter)
-    surviving = sizes.select(F.col("a").alias("_rep"))
+    # are sorted, so x < y positionally — no filter). sizes rows ARE
+    # the surviving reps, so no gate join either.
     intra = (
-        groups.where(F.col("_w") >= 2)
-        .join(surviving, "_rep", "left_semi")
+        sizes.where(F.size("_members") >= 2)
         .select(
             F.explode(
                 F.expr(
@@ -843,18 +861,13 @@ def ngram_jaccard_pair_graph(
     not with copies (C(w, 2) identical-pair cliques collapse to w-1
     stars). This is the contract-then-cluster staging a 100 TB dedup
     actually runs."""
-    core, groups, sizes = _ngram_rep_core(
+    core, _groups, sizes = _ngram_rep_core(
         docs, k, threshold, max_doc_freq_frac, max_doc_freq_abs, text_col, id_col
     )
-    surviving = sizes.select(F.col("a").alias("_rep"))
-    stars = (
-        groups.where(F.col("_w") >= 2)
-        .join(surviving, "_rep", "left_semi")
-        .select(
-            F.col("_rep").alias("a"),
-            # members are sorted with the rep first: slice off element 1
-            F.explode(F.expr("slice(_members, 2, size(_members))")).alias("b"),
-        )
+    stars = sizes.where(F.size("_members") >= 2).select(
+        F.col("a"),
+        # members are sorted with the rep first: slice off element 1
+        F.explode(F.expr("slice(_members, 2, size(_members))")).alias("b"),
     )
     return core.select("a", "b").unionByName(stars)
 
