@@ -641,15 +641,13 @@ def _ngram_rep_core(
         )
     # the index frame feeds TWO consumers (pair generation + sizes);
     # it is the SMALLEST frame in the pipeline (distinct capped
-    # shingles x bounded doc arrays), so it carries the explicit
+    # shingles x bounded rep arrays), so it carries the explicit
     # persist — the r9 shape persisted the 130M-row post-count pair
     # frame instead and fused size markers into the pair explode,
     # which shuffled two-column structs for every candidate instance
     # (219s of the sf10 wall lived in that explode+agg). Lifetime:
     # outlives the returned lazy frame by design; harnesses
     # clearCache() between queries (see minhash_lsh_pairs note).
-    from pyspark import StorageLevel
-
     idx = idx.select("ds").persist(StorageLevel.MEMORY_AND_DISK)
     # rep-grain sizes (count of surviving index rows containing the
     # rep — identical to any member's uncontracted size) from their
