@@ -125,6 +125,7 @@ def pagerank_fixedpoint(
     damping_pct: int = 85,
     local_max_edges: int = PR_LOCAL_MAX_EDGES,
     edge_count_bound: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over DIRECTED ``edges(src, dst)`` (undirected graphs:
     pass the union of both directions). Returns (node_id, rank_e12)
@@ -141,7 +142,19 @@ def pagerank_fixedpoint(
     no count — the edge lineage executes exactly ONCE, inside the
     Arrow collect (measured: 3 jobs -> 1 on the sf0.1 trade graph).
     An over-ceiling or absent bound falls through to the checkpoint +
-    count-probe path unchanged."""
+    count-probe path unchanged.
+
+    ``symmetric=True`` declares that BOTH directions of every edge are
+    present (an undirected graph materialized as two directed rows).
+    Then every node occurs as a src and its src-count IS its degree,
+    so the node/degree frame is ONE exchange-free aggregation over the
+    already-src-partitioned edge checkpoint — instead of the general
+    path's union of both endpoint projections (2x the edge rows) plus
+    a shuffle. The agg preserves the hash(src) clustering, so the
+    checkpoint keeps both per-round joins exchange-free exactly like
+    the general path. Caller-asserted, not verified (a directed input
+    would silently drop dst-only nodes); the r10 trade-graph caller
+    explodes both directions by construction."""
     from ..plans.budget import within_budget
 
     if within_budget(edge_count_bound, local_max_edges):
@@ -178,14 +191,26 @@ def pagerank_fixedpoint(
     # coalesced to a different count), so BOTH per-round joins are
     # exchange-free: ranks flows out of the nd-side of the carry join
     # still clustered on node_id, matching ed's src clustering.
-    nd = (
-        ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))
-        .unionAll(ed.select(F.col("dst").alias("node_id"), F.lit(0).alias("is_out")))
-        .groupBy("node_id")
-        .agg(F.sum("is_out").cast("bigint").alias("deg"))
-        .repartition(n_part, "node_id")
-        .localCheckpoint()
-    )
+    if symmetric:
+        # src-count == degree and srcs == the node universe; ed is
+        # already hash-partitioned on src, so this aggregation inserts
+        # no exchange and its output inherits the clustering
+        nd = (
+            ed.groupBy(F.col("src").alias("node_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .localCheckpoint()
+        )
+    else:
+        nd = (
+            ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))
+            .unionAll(
+                ed.select(F.col("dst").alias("node_id"), F.lit(0).alias("is_out"))
+            )
+            .groupBy("node_id")
+            .agg(F.sum("is_out").cast("bigint").alias("deg"))
+            .repartition(n_part, "node_id")
+            .localCheckpoint()
+        )
     ranks = nd.select(
         "node_id", "deg", F.lit(RANK_SCALE).cast("bigint").alias("rank")
     )

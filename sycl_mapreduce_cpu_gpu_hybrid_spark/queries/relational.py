@@ -1375,6 +1375,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_TRADE_PR_ITERS,
         damping_pct=_TRADE_PR_DAMPING_PCT,
         edge_count_bound=bound,
+        # the explode above emits both directions of every edge
+        symmetric=True,
     )
 
 
