@@ -544,6 +544,15 @@ def _ngram_rep_core(
     # count, and the member list for expansion — no join back to docs.
     # The shuffle carries (16B hash, 8B id), never text. Persisted:
     # consumed by rep_docs (inside the idx build) and the sizes join.
+    # Not unpersisted here even though nothing downstream of the
+    # returned frames re-reads it (ADVICE r10): every frame in this
+    # function is LAZY, so an unpersist at declaration time would
+    # deregister the cache before either consumer materializes and
+    # both would replay the hash+groupBy; an eager materialize-then-
+    # unpersist would move timed query work into declaration. The
+    # cache is per-query-lifetime under the harness clearCache
+    # contract; cert paths that declare twice pin 2x the frames for
+    # the duration of the cert, which is bounded by the rep grain.
     groups = (
         hashed.groupBy("_ch")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_members"))

@@ -152,9 +152,10 @@ def pagerank_fixedpoint(
     path's union of both endpoint projections (2x the edge rows) plus
     a shuffle. The agg preserves the hash(src) clustering, so the
     checkpoint keeps both per-round joins exchange-free exactly like
-    the general path. Caller-asserted, not verified (a directed input
-    would silently drop dst-only nodes); the r10 trade-graph caller
-    explodes both directions by construction."""
+    the general path. Caller-asserted; set ``SMRGH_VERIFY_SYMMETRIC=1``
+    (CI does) for a bounded anti-join probe that raises on a directed
+    input instead of silently dropping dst-only nodes. The r10
+    trade-graph caller explodes both directions by construction."""
     from ..plans.budget import within_budget
 
     if within_budget(edge_count_bound, local_max_edges):
@@ -200,6 +201,27 @@ def pagerank_fixedpoint(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .localCheckpoint()
         )
+        import os
+
+        if os.environ.get("SMRGH_VERIFY_SYMMETRIC"):
+            # Debug-tier contract check: symmetric means every dst also
+            # occurs as a src (so the src universe IS the node
+            # universe). A directed edge set would otherwise silently
+            # drop dst-only nodes and return wrong ranks. One bounded
+            # anti-join probe against the |V|-row nd frame — off by
+            # default, enabled in CI.
+            orphan = (
+                ed.select(F.col("dst").alias("node_id"))
+                .join(nd, "node_id", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if orphan:
+                raise ValueError(
+                    "pagerank_fixedpoint(symmetric=True) got a directed "
+                    "edge set: some dst never occurs as a src. Pass both "
+                    "directions of every edge, or symmetric=False."
+                )
     else:
         nd = (
             ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))

@@ -44,60 +44,54 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # r10 structural rewrites FIRST — these queries' physical plans
-    # changed this round, so the driver's r10 sample must re-green
-    # them under the new plans (strict parity re-verified locally at
-    # sf0.01 + the derived sf1 for each): co-partitioned PageRank
-    # loop, hash-join triangle closure + degree orientation, packed
-    # ngram pair keys with cap-aware aggregation, star-contraction
-    # clusters over the reworked pair stream, distributed exact-ntile
-    # RFM tier, and the _SUCCESS-mtime DPP memo / roundtrip layout GC.
+    # r11 plan changes FIRST: the supplier node offset moved to 2^30
+    # (domain disjointness vs sf10 customer ids), which changes
+    # graph_pagerank's output node ids — Spark and oracle moved
+    # together, strict parity re-verified at sf0.01, but the driver
+    # must re-green the new values.
     "graph_pagerank",
-    "graph_triangles",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "corpus_curate",
-    "orders_rfm",
-    "join_partition_pruned",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    # r10 rotation (r9 verdict task 6): the 32 names whose LATEST
-    # green driver evidence is r7 — derived by replaying
-    # CORRECTNESS_r01–r09; re-derive and rotate each round so no
-    # name's evidence goes stale.
-    "agg_count_distinct",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup_cube",
-    "asof_last_purchase",
-    "corpus_mix_schedule",
-    "dedup_editdistance_verify",
-    "embedding_quantize_int8",
-    "filter_project_cast",
-    "join_anti",
-    "join_bucketed_colocated",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_multi_broadcast",
-    "join_range_band",
-    "join_scalar_subquery",
-    "join_semi",
-    "multimodal_audio_stats",
-    "multimodal_decode_resize",
-    "multimodal_frame_sample",
-    "predicates_case_pack",
-    "relational_unpivot",
-    "skew_salted_agg",
-    "sort_multikey",
-    "source_orc_roundtrip",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "text_repetition",
-    "topk_orders",
-    "udtf_top_words",
-    "window_frames_pack",
-    "window_latest_order",
+    # --- r11 rotation (r10 verdict task 6): the 36 names whose
+    # LATEST green driver evidence is r8, derived by replaying
+    # CORRECTNESS_r01-r10; after this round's gate no name's
+    # evidence should predate r9.
+    "agg_quantile_bands",
+    "agg_stats_moments",
+    "array_pack",
+    "basket_pairs",
+    "corpus_split",
+    "date_map_pack",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_portable",
+    "dedup_simhash_pairs",
+    "embedding_kmeans",
+    "events_json_extract",
+    "events_sessionization",
+    "events_time_agg",
+    "math_pack",
+    "multimodal_features",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "source_binaryfile_roundtrip",
+    "stream_dedup",
+    "stream_parquet_sink",
+    "stream_rate_source",
+    "stream_running_max",
+    "stream_sliding_avg",
+    "stream_tumbling_counts",
+    "string_pack",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_quality",
+    "text_simhash",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "udf_kernel_pack",
+    "udtf_top_words_arrow",
 ]
+
 
 
 # ---------------------------------------------------------------------------

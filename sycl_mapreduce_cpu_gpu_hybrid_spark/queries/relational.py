@@ -173,7 +173,11 @@ QUANTILE_LOCATE_BUCKETS = 1024
 
 
 def _exact_group_quantiles(
-    df: DataFrame, key: str, specs: list[tuple[str, float, str]]
+    df: DataFrame,
+    key: str,
+    specs: list[tuple[str, float, str]],
+    unpersist_registry: list | None = None,
+    many_groups: bool = False,
 ) -> DataFrame:
     """Exact interpolated quantiles per group WITHOUT buffering group
     values: one row per ``key`` with a column per (col, p, outname)
@@ -201,18 +205,21 @@ def _exact_group_quantiles(
     collect_list / Percentile; value-identical to the sorted-array
     small form (pytest-pinned, test_exact_quantile_tiers_bit_identical).
 
-    Caller contracts (r9 advice):
+    Caller contracts (r9 advice; hooks added r11):
     - the persisted counts relation is NOT unpersisted here (the
       returned frame is lazy; unpersisting before materialization
       would forfeit the share). The repo's harnesses clear the SQL
-      cache between queries; a long-lived library session declaring
-      this repeatedly should ``spark.catalog.clearCache()`` (or
-      unpersist the relation) between uses.
-    - the locate frame broadcast is |groups| x |specs| x 2 rows —
-      fine for low-cardinality group keys (the declared queries'), a
-      broadcast-OOM hazard for a high-cardinality ``key``; reuse with
-      many groups should drop the broadcast hint and let the pick
-      join shuffle.
+      cache between queries; a long-lived library session should pass
+      ``unpersist_registry`` (a list) — the persisted relation is
+      appended to it, and the caller unpersists after materializing
+      the result (or calls ``spark.catalog.clearCache()``).
+    - BOTH small-frame broadcasts (the per-group range frame onto the
+      counts, and the locate frame onto the pick join) are
+      |groups| x |specs|-sized — fine for low-cardinality group keys
+      (the declared queries'), a broadcast-OOM hazard for a
+      high-cardinality ``key``. Pass ``many_groups=True`` to drop the
+      hints and let both joins shuffle (AQE still broadcasts if the
+      measured size permits).
     """
     from pyspark import StorageLevel
 
@@ -227,6 +234,9 @@ def _exact_group_quantiles(
         .agg(F.count(F.lit(1)).alias("_c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if unpersist_registry is not None:
+        unpersist_registry.append(cnts)
+    _maybe_bcast = (lambda f: f) if many_groups else F.broadcast
     # phase 0: per-(group, measure) totals and value range (tiny;
     # broadcast back onto the counts frame)
     rng = cnts.groupBy(key, "_mi").agg(
@@ -240,7 +250,7 @@ def _exact_group_quantiles(
         f" (CASE WHEN _mx > _mn THEN _mx - _mn ELSE 1.0 END)"
         f" * {QUANTILE_LOCATE_BUCKETS}) AS BIGINT))"
     )
-    wb = cnts.join(F.broadcast(rng), [key, "_mi"]).withColumn(
+    wb = cnts.join(_maybe_bcast(rng), [key, "_mi"]).withColumn(
         "_b", F.expr(bexpr)
     )
     # phase 1 (locate): cumulative counts over the BUCKET frame — at
@@ -294,7 +304,7 @@ def _exact_group_quantiles(
     # the distinct values each) re-window; exactly one row covers each
     # in-bucket rank
     sub = wb.select(key, "_mi", "_b", "_v", "_c").join(
-        F.broadcast(needs), [key, "_mi", "_b"]
+        _maybe_bcast(needs), [key, "_mi", "_b"]
     )
     w_in = Window.partitionBy(key, "_mi", "_si", "_w").orderBy("_v")
     picked = (
@@ -1293,6 +1303,13 @@ ORACLES["dq_audit"] = """
 # so the three paths cannot silently fork (r8 advice).
 _TRADE_PR_ITERS = 3
 _TRADE_PR_DAMPING_PCT = 85
+# Supplier node ids live at suppkey + SUPP_NODE_OFFSET so the two id
+# domains stay disjoint: custkey must stay BELOW the offset (guarded),
+# suppkey below 2^31 - offset so packed keys stay under 2^31. 2^30
+# leaves ~1.07e9 headroom each way — sf10's 1.5M customers aliased
+# the old 1e6 offset (ADVICE r10). Shared by the distributed build,
+# the driver-local replay, and the oracle, like the constants above.
+SUPP_NODE_OFFSET = 1 << 30
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,21 +1353,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf10 edge build 33-79s -> ~22s, and stable across runs. The
     # raise_error guard refuses id domains past 2^31 instead of
     # silently corrupting packed keys (same contract as the ngram
-    # packer); suppkey offset keeps s in-domain alongside c.
+    # packer). The supplier node offset is 2^30 (r11 — was 1e6, which
+    # sf10's 1.5M customers ALIASED into: customer 1,000,001 and
+    # supplier 1 were the same node); the guard now also enforces
+    # domain disjointness (custkey < offset), not just packability.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pk_expr = F.when(
         (F.col("o_custkey") < 0)
-        | (F.col("o_custkey") >= F.lit(1 << 31))
-        | (F.col("l_suppkey") + 1_000_000 >= F.lit(1 << 31))
+        | (F.col("o_custkey") >= F.lit(SUPP_NODE_OFFSET))
+        | (F.col("l_suppkey") + SUPP_NODE_OFFSET >= F.lit(1 << 31))
         | (F.col("l_suppkey") < 0),
         F.expr(
-            "raise_error('pagerank packed edge build requires"
-            " ids in [0, 2^31))')"
+            "raise_error('pagerank trade graph requires custkey in"
+            " [0, 2^30) and suppkey in [0, 2^30) so customer and"
+            " supplier node ids stay disjoint and packable')"
         ).cast("bigint"),
     ).otherwise(
         F.col("o_custkey") * F.lit(1 << 31).cast("bigint")
         + F.col("l_suppkey")
-        + 1_000_000
+        + SUPP_NODE_OFFSET
     )
     cs = (
         li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
@@ -1410,10 +1431,15 @@ def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
         pos = np.searchsorted(ok_s, lk)
         valid = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
     c = oc_s[pos[valid]]
-    s = ls[valid] + 1_000_000
+    s = ls[valid] + SUPP_NODE_OFFSET
     if len(c) and (
-        c.min() < 0 or s.min() < 0 or c.max() >= (1 << 31) or s.max() >= (1 << 31)
+        c.min() < 0
+        or s.min() < 0
+        or c.max() >= SUPP_NODE_OFFSET  # would alias supplier node ids
+        or s.max() >= (1 << 31)
     ):
+        # fall through to the distributed path, whose guard raises the
+        # descriptive domain error instead of silently aliasing
         return None
     pk = np.unique(c * (1 << 31) + s)
     cu, su = pk >> 31, pk & ((1 << 31) - 1)
@@ -1431,14 +1457,16 @@ QUERIES["graph_pagerank"] = graph_pagerank
 def _pagerank_oracle() -> str:
     from ..operators.graph import pagerank_oracle_sql
 
-    edges_sql = """
+    edges_sql = f"""
         SELECT c AS src, s AS dst FROM (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+            SELECT DISTINCT o.o_custkey AS c,
+                            l.l_suppkey + {SUPP_NODE_OFFSET} AS s
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         )
         UNION ALL
         SELECT s AS src, c AS dst FROM (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+            SELECT DISTINCT o.o_custkey AS c,
+                            l.l_suppkey + {SUPP_NODE_OFFSET} AS s
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         )
     """

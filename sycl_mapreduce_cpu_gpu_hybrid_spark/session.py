@@ -32,14 +32,37 @@ def ensure_driver_memory(sf_dir: str) -> str:
         return explicit
     total = 0
     try:
-        for name in os.listdir(sf_dir):
-            path = os.path.join(sf_dir, name)
-            if os.path.isfile(path):
-                total += os.path.getsize(path)
+        # walk, not listdir: a fixture laid out as Spark-written
+        # parquet DIRECTORIES (part-files inside per-table dirs) must
+        # size the same as flat files, else it totals 0 and silently
+        # reproduces the sf10 OOM this guard exists to prevent.
+        for root, _dirs, files in os.walk(sf_dir):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass
     except OSError:
         return "16g"
     gib = total / (1 << 30)
     need = max(16, -(-int(gib * 26) // 8) * 8)  # ceil to 8 GiB steps
+    # Clamp to ~80% of host RAM: the 26x slope on a ~10GB fixture would
+    # demand 264g and the JVM fails to launch (or swaps) on smaller
+    # hosts. When the cap binds, say so and point at the override.
+    try:
+        host_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+        cap = max(16, int(host_gib * 0.8) // 8 * 8)
+        if need > cap:
+            print(
+                f"[session] fixture wants {need}g heap but host RAM is "
+                f"{host_gib:.0f} GiB; clamping to {cap}g "
+                "(set SPARK_GRAFT_DRIVER_MEM to override)"
+            )
+            need = cap
+    except (OSError, ValueError):
+        pass
     heap = f"{need}g"
     if need > 16:
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap

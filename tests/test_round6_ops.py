@@ -328,11 +328,15 @@ def test_pagerank_trade_graph_local_matches_distributed(spark, sf_dir):
     local = sorted(
         map(tuple, _pagerank_trade_graph_local(spark, o, li).collect())
     )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import (
+        SUPP_NODE_OFFSET,
+    )
+
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1_000_000).alias("s"),
+            (F.col("l_suppkey") + SUPP_NODE_OFFSET).alias("s"),
         )
         .distinct()
     )
