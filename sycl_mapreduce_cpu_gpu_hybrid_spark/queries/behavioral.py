@@ -647,6 +647,108 @@ def _ntile_distributed(
     )
 
 
+def _ntile_boundary_buckets(
+    rfm: DataFrame, k: int, dims: list[tuple[str, bool, str]]
+) -> DataFrame:
+    """All-dimensions exact ntile(k) via ORDER-STATISTIC SELECTION
+    instead of ranking every row: for each dimension only the k - 1
+    boundary keys (the (value, custkey) pairs at the ntile bucket-edge
+    ranks) are located, and every row's bucket is then one broadcast
+    comparison — bit-identical to
+    ``F.ntile(k).over(Window.orderBy(value, custkey))``
+    (pytest-pinned, test_rfm_ntile_tiers_bit_identical /
+    test_ntile_boundary_matches_window_on_skew).
+
+    Why not rank-from-counts: the monetary key is ~unique per
+    customer, so a distinct-value counts frame is full-size and saves
+    nothing (SCALING.md "Global ntile at dimension grain", r9). Why
+    this works anyway: a B-bucket HISTOGRAM map-side combines to B
+    cells per task regardless of value uniqueness, a cumulative window
+    over the 3 x B frame locates the bucket covering each boundary
+    rank, and only that bucket's ~n/B rows sort (tiny window task) to
+    pick the exact key. No full-frame range exchange, no full sort —
+    the r10 tier paid THREE of each (chained _ntile_distributed
+    passes, 6.9s at the 10x fixture); this shape's full-data work is
+    two projections over the checkpointed dimension frame plus
+    tiny-frame stages, and at 1.5e8 customers every stage stays
+    bounded (histogram cells, not rows, cross the wire; the pick task
+    is n/B rows, or one value's tie-group on tie-dense dimensions —
+    documented corner: a dimension with ONE hot value degrades the
+    pick to that tie-group's size, still never the full frame).
+
+    ``dims``: (value_col, descending, out_col). ``rfm`` must carry
+    o_custkey (the deterministic tiebreak) and be cheap to re-consume
+    — the caller checkpoints it. The 3 x (k - 1) boundary rows are
+    collected to the driver: bounded by construction (a k-row
+    centroid-class collect, the repo's adjudicated contract)."""
+    sess = rfm.sparkSession
+    n_buckets = 1024
+    # melt to (dim, v, ck): descending dims negate so every dimension
+    # orders (v ASC, ck ASC); values are exact ints (days/counts/cents)
+    arms = [
+        F.struct(
+            F.lit(di).alias("_dim"),
+            (-F.col(col) if desc else F.col(col)).cast("bigint").alias("_v"),
+            F.col("o_custkey").alias("_ck"),
+        )
+        for di, (col, desc, _out) in enumerate(dims)
+    ]
+    melted = rfm.select(F.explode(F.array(*arms)).alias("_s")).select("_s.*")
+    rng = melted.groupBy("_dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+    )
+    b_hi = n_buckets - 1
+    bexpr = (
+        f"LEAST(CAST({b_hi} AS BIGINT), CAST(floor((_v - _mn) /"
+        f" (CASE WHEN _mx > _mn THEN CAST(_mx - _mn AS DOUBLE)"
+        f" ELSE 1.0 END) * {n_buckets}) AS BIGINT))"
+    )
+    wb = melted.join(F.broadcast(rng), "_dim").withColumn("_b", F.expr(bexpr))
+    bcnt = wb.groupBy("_dim", "_n", "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    w_b = Window.partitionBy("_dim").orderBy("_b")
+    bmark = bcnt.withColumn("_bcum", F.sum("_bc").over(w_b))
+    # ntile boundary ranks: bucket i (1-indexed) ends at global rank
+    # i * (n DIV k) + LEAST(i, n % k); bucket(row) = 1 + |boundaries
+    # strictly below the row's key| (repeated boundary keys when n < k
+    # still compare correctly — ties collapse onto the same key)
+    bs = F.array(*[F.lit(i) for i in range(1, k)])
+    rank = f"(_bi * (_n DIV {k}) + LEAST(_bi, _n % {k}))"
+    needs = (
+        bmark.select("*", F.explode(bs).alias("_bi"))
+        .where(F.expr(f"_bcum - _bc < {rank} AND _bcum >= {rank}"))
+        .select(
+            "_dim",
+            "_b",
+            "_bi",
+            F.expr(f"{rank} - (_bcum - _bc)").alias("_lr"),
+        )
+    )
+    w_in = Window.partitionBy("_dim", "_bi").orderBy("_v", "_ck")
+    picked = (
+        wb.select("_dim", "_b", "_v", "_ck")
+        .join(F.broadcast(needs), ["_dim", "_b"])
+        .withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("_rn") == F.col("_lr"))
+        .select("_dim", "_bi", "_v", "_ck")
+    )
+    bounds: dict[int, list[tuple[int, int]]] = {}
+    for r in picked.collect():  # 3 x (k - 1) rows, bounded
+        bounds.setdefault(r["_dim"], []).append((r["_bi"], r["_v"], r["_ck"]))
+    out_cols = ["*"]
+    for di, (col, desc, out) in enumerate(dims):
+        v = f"(CAST({'-' if desc else ''}{col} AS BIGINT))"
+        terms = [
+            f"CAST(({v} > {bv}L OR ({v} = {bv}L AND o_custkey > {bck}L))"
+            " AS INT)"
+            for _bi, bv, bck in sorted(bounds.get(di, []))
+        ]
+        expr = " + ".join(["1"] + terms) if terms else "1"
+        out_cols.append(F.expr(expr).cast("int").alias(out))
+    return rfm.select(*out_cols)
+
+
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation:
     per-customer stats roll into ntile(5) buckets per dimension, and
@@ -656,16 +758,19 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical on both engines; no float sums in the hash).
     ntile ties break on custkey for determinism.
 
-    Scale tiers (r10, shared budget gate — plans/budget.py): up to
+    Scale tiers (r11, shared budget gate — plans/budget.py): up to
     RFM_NTILE_LOCAL_MAX customers (metadata bound: the customer
     table's parquet footer) the three ntile windows run as global
     sorts — dimension-sized single tasks, the fastest plan at small
     dimensions. Above the ceiling, or under SMRGH_FORCE_DISTRIBUTED,
-    each dimension ranks via _ntile_distributed (range partition +
-    local row_number + broadcast offsets) — EXACT, bit-identical to
-    ntile, fully parallel, so a 1.5e8-customer dimension at 100 TB
-    never serializes into one task. Same output either way
-    (equality-pinned in tests/test_budget_tiers.py)."""
+    all three dimensions bucket via _ntile_boundary_buckets (exact
+    order-statistic selection: histogram locate + one-bucket pick +
+    broadcast boundary comparison) — EXACT, bit-identical to ntile,
+    no full-frame sort anywhere, so a 1.5e8-customer dimension at
+    100 TB never serializes into one task NOR pays three chained
+    range exchanges (the r10 tier's cost — 6.9s at the 10x fixture).
+    Same output either way (equality-pinned in
+    tests/test_budget_tiers.py)."""
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -708,9 +813,20 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     else:
-        bucketed = rfm
-        for cols, out in dims:
-            bucketed = _ntile_distributed(bucketed, 5, cols, out)
+        # checkpoint the dimension frame ONCE: three consumers
+        # (histogram, boundary pick, final assign) would otherwise
+        # each replay the orders groupBy — the repo's recurring
+        # multi-consumer re-execution class
+        rfm_ck = rfm.localCheckpoint()
+        bucketed = _ntile_boundary_buckets(
+            rfm_ck,
+            5,
+            [
+                ("rec_days", False, "r_bucket"),
+                ("freq", True, "f_bucket"),
+                ("cents", True, "m_bucket"),
+            ],
+        )
     return bucketed.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("sum_cents"),

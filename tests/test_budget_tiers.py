@@ -129,6 +129,47 @@ def test_ntile_distributed_matches_window_on_skew(spark, forced):
         assert got == want, f"n={n}"
 
 
+def test_ntile_boundary_matches_window_on_skew(spark, forced):
+    """_ntile_boundary_buckets vs F.ntile on adversarial frames: heavy
+    ties (one hot value dominating a dimension — the documented pick
+    degradation corner), n not divisible by k, n < k, and mixed
+    asc/desc dimensions ranked in ONE call."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.behavioral import (
+        _ntile_boundary_buckets,
+    )
+
+    for n in (3, 23, 997):
+        df = spark.range(n).select(
+            F.col("id").alias("o_custkey"),
+            (F.col("id") % 7).alias("v"),
+            F.when(F.col("id") % 5 == 0, F.lit(42))
+            .otherwise(F.col("id"))
+            .alias("u"),
+        )
+        want = _rows(
+            df.select(
+                "o_custkey",
+                F.ntile(5)
+                .over(Window.orderBy(F.col("v").desc(), "o_custkey"))
+                .alias("vb"),
+                F.ntile(5)
+                .over(Window.orderBy(F.col("u").asc(), "o_custkey"))
+                .alias("ub"),
+            )
+        )
+        got = _rows(
+            _ntile_boundary_buckets(
+                df.localCheckpoint(),
+                5,
+                [("v", True, "vb"), ("u", False, "ub")],
+            ).select("o_custkey", "vb", "ub")
+        )
+        assert got == want, f"n={n}"
+
+
 def test_ngram_dense_tier_matches_distributed(spark, forced, monkeypatch):
     """Uncapped ngram pairs (the truth-replay configuration) under the
     switch run the distributed explode; without it the dense-gemm tier
