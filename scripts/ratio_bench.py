@@ -78,6 +78,22 @@ def main() -> None:
         f"\nORACLED SET: spark={tot_s:.2f}s duck={tot_d:.2f}s "
         f"ratio={tot_s / tot_d:.2f}x over {len(rows)} queries"
     )
+    # Floor decomposition (r10 verdict task 2): queries whose DuckDB
+    # time is under 50ms measure Spark's fixed session/stage floor
+    # (noop ~15ms, smallest shuffle ~95ms on this host), not plan
+    # quality — split them out so the ratio conversation is about the
+    # queries where the denominator is real work.
+    floor = [r for r in rows if r[3] < 0.050]
+    rest = [r for r in rows if r[3] >= 0.050]
+    for label, part in (("FLOOR-BOUND (duck<50ms)", floor), ("NON-FLOOR", rest)):
+        if not part:
+            continue
+        ps = sum(r[2] for r in part)
+        pd = sum(r[3] for r in part)
+        print(
+            f"{label}: spark={ps:.2f}s duck={pd:.2f}s "
+            f"ratio={ps / max(pd, 1e-9):.2f}x over {len(part)} queries"
+        )
 
 
 def _t(f) -> float:
