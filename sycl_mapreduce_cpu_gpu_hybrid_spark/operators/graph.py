@@ -179,6 +179,11 @@ def pagerank_fixedpoint(
     # so the contribution join reads deg from the |V|-row side.
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (A bucketed-table edge layout was measured as an alternative to
+    # this explicit repartition — scanning 32 unsplittable bucket
+    # files checkpointed SLOWER than split parquet feeding a pipelined
+    # exchange on the 117M-row sf10 relation; see
+    # queries/relational._tradegraph_edge_layout.)
     ed = edges.repartition(n_part, "src").localCheckpoint()
     if local_max_edges > 0:
         local = _pagerank_local(ed, iters, damping_pct, local_max_edges)
