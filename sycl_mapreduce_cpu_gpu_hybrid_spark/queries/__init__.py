@@ -44,11 +44,14 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # r11 plan changes FIRST: the supplier node offset moved to 2^30
+    # r11 plan changes FIRST: graph_pagerank_directed is NEW (dangling
+    # -mass redistribution over the directed trade graph — no driver
+    # evidence yet), and the supplier node offset moved to 2^30
     # (domain disjointness vs sf10 customer ids), which changes
     # graph_pagerank's output node ids — Spark and oracle moved
     # together, strict parity re-verified at sf0.01, but the driver
     # must re-green the new values.
+    "graph_pagerank_directed",
     "graph_pagerank",
     # --- r11 rotation (r10 verdict task 6): the 36 names whose
     # LATEST green driver evidence is r8, derived by replaying

@@ -1355,45 +1355,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not unionAll(cs, swap(cs)) — the union's two arms each re-execute
     # the whole join+distinct lineage (measured 2x the sf10 edge-build
     # cost; the classic multi-consumer re-execution class).
-    # PACKED dedup (r10): (cust, supp) instances off the join are
-    # near-unique-per-partition (a customer's orders scatter across
-    # the orderkey-partitioned stream), so groupBy-distinct's map-side
-    # hash tables spill for little volume reduction — the same
-    # pathology the ngram pair agg hit. Pack both ids into one long,
-    # exchange the raw 8-byte keys, and dedup once co-partitioned:
-    # sf10 edge build 33-79s -> ~22s, and stable across runs. The
-    # raise_error guard refuses id domains past 2^31 instead of
-    # silently corrupting packed keys (same contract as the ngram
-    # packer). The supplier node offset is 2^30 (r11 — was 1e6, which
-    # sf10's 1.5M customers ALIASED into: customer 1,000,001 and
-    # supplier 1 were the same node); the guard now also enforces
-    # domain disjointness (custkey < offset), not just packability.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pk_expr = F.when(
-        (F.col("o_custkey") < 0)
-        | (F.col("o_custkey") >= F.lit(SUPP_NODE_OFFSET))
-        | (F.col("l_suppkey") + SUPP_NODE_OFFSET >= F.lit(1 << 31))
-        | (F.col("l_suppkey") < 0),
-        F.expr(
-            "raise_error('pagerank trade graph requires custkey in"
-            " [0, 2^30) and suppkey in [0, 2^30) so customer and"
-            " supplier node ids stay disjoint and packable')"
-        ).cast("bigint"),
-    ).otherwise(
-        F.col("o_custkey") * F.lit(1 << 31).cast("bigint")
-        + F.col("l_suppkey")
-        + SUPP_NODE_OFFSET
-    )
-    cs = (
-        li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
-        .select(pk_expr.alias("pk"))
-        .repartition(n_part, "pk")
-        .dropDuplicates(["pk"])
-        .select(
-            F.expr("pk DIV 2147483648").alias("c"),
-            F.expr("pk % 2147483648").alias("s"),
-        )
-    )
+    # packed co-partitioned dedup + domain guards: _trade_pairs
+    cs = _trade_pairs(spark, o, li)
     edges = cs.select(
         F.explode(
             F.array(
@@ -1413,6 +1376,94 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the explode above emits both directions of every edge
         symmetric=True,
     )
+
+
+def _trade_pairs(spark, o: DataFrame, li: DataFrame) -> DataFrame:
+    """Distinct (customer, supplier-node) pairs off the order/lineitem
+    FK join, PACKED into one long for the dedup exchange (r10): pair
+    instances are near-unique-per-partition, so groupBy-distinct's
+    map-side hash tables spill for little volume reduction — exchange
+    the raw 8-byte keys and dedup once co-partitioned (sf10 edge build
+    33-79s -> ~22s). The raise_error guard refuses id domains that
+    would alias or overflow the packing (custkey below the 2^30
+    supplier offset, suppkey below 2^30 — sf10's 1.5M customers
+    ALIASED the pre-r11 1e6 offset)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pk_expr = F.when(
+        (F.col("o_custkey") < 0)
+        | (F.col("o_custkey") >= F.lit(SUPP_NODE_OFFSET))
+        | (F.col("l_suppkey") + SUPP_NODE_OFFSET >= F.lit(1 << 31))
+        | (F.col("l_suppkey") < 0),
+        F.expr(
+            "raise_error('pagerank trade graph requires custkey in"
+            " [0, 2^30) and suppkey in [0, 2^30) so customer and"
+            " supplier node ids stay disjoint and packable')"
+        ).cast("bigint"),
+    ).otherwise(
+        F.col("o_custkey") * F.lit(1 << 31).cast("bigint")
+        + F.col("l_suppkey")
+        + SUPP_NODE_OFFSET
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .select(pk_expr.alias("pk"))
+        .repartition(n_part, "pk")
+        .dropDuplicates(["pk"])
+        .select(
+            F.expr("pk DIV 2147483648").alias("c"),
+            F.expr("pk % 2147483648").alias("s"),
+        )
+    )
+
+
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED customer->supplier trade graph with
+    dangling-mass redistribution (operators/graph.py ``dangling=
+    "redistribute"`` — every supplier is a sink, so without the
+    redistribution term 85% of their absorbed mass would vanish each
+    round). The directed twin of graph_pagerank: same distinct-pair
+    derivation (one packed dedup), edges kept one-directional, and the
+    canonical dangling share (sum of sink rank DIV |V|, exact
+    truncating integers) folded into every node's inflow — bit-exact
+    vs the unrolled-CTE DuckDB replay. This is the web-graph shape
+    (most of a crawl's frontier is dangling) at fixture scale."""
+    from ..operators.graph import PR_LOCAL_MAX_EDGES, pagerank_fixedpoint
+    from ..plans.budget import within_budget  # noqa: F401 (tier doc)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bound = _lineitem_rows(_t(spark, sf_dir, "lineitem"), sf_dir)
+    cs = _trade_pairs(spark, o, li)
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    return pagerank_fixedpoint(
+        edges,
+        iters=_TRADE_PR_ITERS,
+        damping_pct=_TRADE_PR_DAMPING_PCT,
+        edge_count_bound=bound if bound > 0 else None,
+        dangling="redistribute",
+    )
+
+
+QUERIES["graph_pagerank_directed"] = graph_pagerank_directed
+
+
+def _pagerank_directed_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    edges_sql = f"""
+        SELECT DISTINCT o.o_custkey AS src,
+                        l.l_suppkey + {SUPP_NODE_OFFSET} AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """
+    return pagerank_oracle_sql(
+        edges_sql,
+        iters=_TRADE_PR_ITERS,
+        damping_pct=_TRADE_PR_DAMPING_PCT,
+        dangling=True,
+    )
+
+
+ORACLES["graph_pagerank_directed"] = _pagerank_directed_oracle()
 
 
 def _tradegraph_edge_layout(spark, sf_dir: str, edges):

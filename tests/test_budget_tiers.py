@@ -129,6 +129,62 @@ def test_ntile_distributed_matches_window_on_skew(spark, forced):
         assert got == want, f"n={n}"
 
 
+def test_pagerank_directed_forced_distributed_matches(spark, forced, monkeypatch):
+    """graph_pagerank_directed (dangling redistribution) under the
+    switch: the per-round dangling-mass scalar + checkpointed carry
+    must equal the numpy replay bit-for-bit."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import (
+        graph_pagerank_directed,
+    )
+
+    dist = _rows(graph_pagerank_directed(spark, SF))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(graph_pagerank_directed(spark, SF))
+    assert dist == local and len(dist) > 0
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """On a star sink graph (1..n -> 0) the redistribute variant must
+    match an independent pure-python replication, conserve mass up to
+    truncation, and differ from dangling='none' (which leaks the
+    sink's mass)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    n = 5  # nodes 1..4 point at sink 0
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)], "src long, dst long"
+    )
+    # pure-python replication of the documented arithmetic
+    rank = {v: RANK_SCALE for v in range(n)}
+    base = 15 * RANK_SCALE // 100
+    for _ in range(3):
+        flow = {v: 0 for v in range(n)}
+        flow[0] = sum(rank[u] // 1 for u in range(1, n))
+        share = rank[0] // n  # node 0 is the only dangling node
+        rank = {v: base + (85 * (flow[v] + share)) // 100 for v in range(n)}
+    want = sorted((v, r) for v, r in rank.items())
+    for forced_edges in (0, None):  # distributed and local tiers
+        got = sorted(
+            map(
+                tuple,
+                pagerank_fixedpoint(
+                    edges,
+                    iters=3,
+                    local_max_edges=0 if forced_edges == 0 else 2_000_000,
+                    dangling="redistribute",
+                ).collect(),
+            )
+        )
+        assert got == want, f"tier={forced_edges}"
+    leaky = dict(
+        pagerank_fixedpoint(edges, iters=3, dangling="none").collect()
+    )
+    assert sum(leaky.values()) < sum(r for _, r in want)
+
+
 def test_ntile_boundary_matches_window_on_skew(spark, forced):
     """_ntile_boundary_buckets vs F.ntile on adversarial frames: heavy
     ties (one hot value dominating a dimension — the documented pick
