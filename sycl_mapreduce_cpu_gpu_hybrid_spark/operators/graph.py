@@ -344,12 +344,19 @@ def pagerank_oracle_sql(
     ``dangling=True`` replays the ``dangling="redistribute"`` variant
     with the identical truncating integer arithmetic."""
     d = damping_pct
+    # Under redistribution each r{it} gains a SECOND consumer (the
+    # dangling scalar g{it+1} as well as f{it+1}); DuckDB inlines
+    # plain CTEs, so without MATERIALIZED the whole chain re-evaluates
+    # 2^iters times (measured 4.7s Spark vs ~260s oracle at the
+    # derived sf1 before the hint — the SQL twin of the loop's
+    # per-round localCheckpoint).
+    mat = " MATERIALIZED" if dangling else ""
     steps = [
-        f"edges AS ({edges_sql})",
+        f"edges AS{mat} ({edges_sql})",
         "nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
-        f"r0 AS (SELECT node_id, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+        f"r0 AS{mat} (SELECT node_id, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
     ]
     prev = "r0"
     for it in range(1, iters + 1):
@@ -373,7 +380,7 @@ def pagerank_oracle_sql(
                 JOIN deg d ON e.src = d.src
                 JOIN {prev} r ON e.src = r.node_id
                 GROUP BY e.dst
-            ), r{it} AS (
+            ), r{it} AS{mat} (
                 SELECT n.node_id,
                        CAST(({100 - d} * {RANK_SCALE}) // 100
                             + ({d} * {inflow}) // 100 AS BIGINT) AS rank
