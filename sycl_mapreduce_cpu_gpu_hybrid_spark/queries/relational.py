@@ -1428,13 +1428,34 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the unrolled-CTE DuckDB replay. This is the web-graph shape
     (most of a crawl's frontier is dangling) at fixture scale."""
     from ..operators.graph import PR_LOCAL_MAX_EDGES, pagerank_fixedpoint
-    from ..plans.budget import within_budget  # noqa: F401 (tier doc)
+    from ..plans.budget import within_budget
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     bound = _lineitem_rows(_t(spark, sf_dir, "lineitem"), sf_dir)
     cs = _trade_pairs(spark, o, li)
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    if not within_budget(bound if bound > 0 else None, PR_LOCAL_MAX_EDGES):
+        # Above the local tier, reuse the SYMMETRIC write-once layout
+        # (both directions of every pair): under the _trade_pairs
+        # domain guard customer ids are strictly below
+        # SUPP_NODE_OFFSET and supplier node ids at or above it, so
+        # the customer->supplier direction is exactly the rows with
+        # dst >= offset — one shared materialization serves both the
+        # undirected and directed queries, and the filter prunes with
+        # parquet min/max stats. (Below the tier the replay collects
+        # the pair lineage directly, same as graph_pagerank.)
+        sym = cs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        layout = _tradegraph_edge_layout(spark, sf_dir, sym)
+        if layout is not None:
+            edges = layout.where(F.col("dst") >= F.lit(SUPP_NODE_OFFSET))
     return pagerank_fixedpoint(
         edges,
         iters=_TRADE_PR_ITERS,
