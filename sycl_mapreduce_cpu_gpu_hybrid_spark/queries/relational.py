@@ -1433,6 +1433,13 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     bound = _lineitem_rows(_t(spark, sf_dir, "lineitem"), sf_dir)
+    if bound > 0 and within_budget(bound, PR_LOCAL_MAX_EDGES):
+        # same numpy searchsorted builder as graph_pagerank's local
+        # tier (two projected scans, FK join + dedup + replay in
+        # numpy), one direction + dangling replay
+        local = _pagerank_trade_graph_local(spark, o, li, directed=True)
+        if local is not None:
+            return local
     cs = _trade_pairs(spark, o, li)
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     if not within_budget(bound if bound > 0 else None, PR_LOCAL_MAX_EDGES):
@@ -1522,13 +1529,17 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
     return spark.read.parquet(path)
 
 
-def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
+def _pagerank_trade_graph_local(
+    spark, o: DataFrame, li: DataFrame, directed: bool = False
+):
     """Driver-local edge build for the bounded trade graph: inner-join
     lineitem to orders on the order key via searchsorted (o_orderkey is
     the orders PK — unique — so one probe per lineitem row IS the inner
     join; unmatched rows are dropped, matching join semantics), pack
     (cust, supp) into one int64 for the distinct, and emit both
-    directions. Returns None when the id domains would overflow the
+    directions (``directed=True``: customer->supplier only, replayed
+    with dangling redistribution — the graph_pagerank_directed
+    semantics). Returns None when the id domains would overflow the
     packing (caller falls through to the distributed path)."""
     import numpy as np
     import pandas as pd
@@ -1564,6 +1575,15 @@ def _pagerank_trade_graph_local(spark, o: DataFrame, li: DataFrame):
         return None
     pk = np.unique(c * (1 << 31) + s)
     cu, su = pk >> 31, pk & ((1 << 31) - 1)
+    if directed:
+        pdf = pd.DataFrame({"src": cu, "dst": su})
+        return _pagerank_replay(
+            pdf,
+            spark,
+            iters=_TRADE_PR_ITERS,
+            damping_pct=_TRADE_PR_DAMPING_PCT,
+            dangling="redistribute",
+        )
     pdf = pd.DataFrame(
         {"src": np.concatenate([cu, su]), "dst": np.concatenate([su, cu])}
     )
