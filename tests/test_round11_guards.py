@@ -111,3 +111,35 @@ def test_exact_quantiles_hooks_value_identical(spark):
     assert base == alt
     assert len(reg) == 1
     reg[0].unpersist()
+
+
+def test_tradegraph_layout_key_tracks_both_sources(tmp_path, monkeypatch):
+    """The edge-layout key must change when EITHER source table's
+    fingerprint changes (a stale layout must never be served against a
+    regenerated fixture), and must stay stable when nothing changed."""
+    import shutil
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import (
+        fingerprint_cache_dir,
+    )
+
+    src = "/root/testdata/sf0.001"
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", fx / f"{t}.parquet")
+
+    def key(d):
+        import hashlib
+
+        ka = fingerprint_cache_dir(str(d), "tg", "orders")
+        kb = fingerprint_cache_dir(str(d), "tg", "lineitem")
+        return hashlib.sha256(f"{ka}|{kb}".encode()).hexdigest()[:16]
+
+    k0 = key(fx)
+    assert key(fx) == k0  # stable when untouched
+    os.utime(fx / "orders.parquet")  # orders regenerated (mtime bump)
+    k1 = key(fx)
+    assert k1 != k0
+    os.utime(fx / "lineitem.parquet")
+    assert key(fx) not in (k0, k1)
