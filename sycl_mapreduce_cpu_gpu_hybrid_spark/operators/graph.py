@@ -127,7 +127,15 @@ def _pagerank_replay(
             else:
                 dang = int(dr.sum()) if len(dr) else 0
             share = dang // n_nodes
-            flow = flow + share
+            # same exactness escape as the dangling sum and the d*flow
+            # product: route through Python ints when flow.max()+share
+            # could exceed int64 (the later d*flow guard then takes
+            # its big-int path too, since object arrays fail its
+            # int64 comparison threshold by construction)
+            if share and int(flow.max(initial=0)) > (2**63 - 1) - share:
+                flow = np.array([int(f) + share for f in flow], dtype=object)
+            else:
+                flow = flow + share
         if int(flow.max(initial=0)) > (2**63 - 1) // d:
             # keep exactness past int64 on the d*flow intermediate
             rank = np.array(

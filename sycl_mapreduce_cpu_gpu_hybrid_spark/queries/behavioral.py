@@ -678,7 +678,12 @@ def _ntile_boundary_buckets(
 
     ``dims``: (value_col, descending, out_col). ``rfm`` must carry
     o_custkey (the deterministic tiebreak) and be cheap to re-consume
-    — the caller checkpoints it. The 3 x (k - 1) boundary rows are
+    — the caller checkpoints it. CONTRACT: dimension values must be
+    NON-NULL (like the o_custkey tiebreak requirement) — a NULL _v
+    would fall out of the histogram locate and yield a NULL bucket,
+    whereas F.ntile (ASC NULLS FIRST) assigns bucket 1; the RFM dims
+    are aggregate counts/dates/cents, non-null by construction, and
+    the melt below asserts it per-dimension. The 3 x (k - 1) boundary rows are
     collected to the driver: bounded by construction (a k-row
     centroid-class collect, the repo's adjudicated contract)."""
     sess = rfm.sparkSession
@@ -700,10 +705,15 @@ def _ntile_boundary_buckets(
         F.max("_v").alias("_mx"),
     )
     b_hi = n_buckets - 1
+    # non-null contract guard (see docstring): costs one per-row null
+    # test inside the existing projection, no extra pass or job
     bexpr = (
-        f"LEAST(CAST({b_hi} AS BIGINT), CAST(floor((_v - _mn) /"
+        f"CASE WHEN _v IS NULL THEN CAST(raise_error("
+        f"'_ntile_boundary_buckets: NULL dimension value violates the"
+        f" non-null contract (F.ntile would bucket it 1)') AS BIGINT)"
+        f" ELSE LEAST(CAST({b_hi} AS BIGINT), CAST(floor((_v - _mn) /"
         f" (CASE WHEN _mx > _mn THEN CAST(_mx - _mn AS DOUBLE)"
-        f" ELSE 1.0 END) * {n_buckets}) AS BIGINT))"
+        f" ELSE 1.0 END) * {n_buckets}) AS BIGINT)) END"
     )
     wb = melted.join(F.broadcast(rng), "_dim").withColumn("_b", F.expr(bexpr))
     bcnt = wb.groupBy("_dim", "_n", "_b").agg(F.count(F.lit(1)).alias("_bc"))

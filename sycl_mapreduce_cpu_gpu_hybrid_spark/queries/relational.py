@@ -1312,6 +1312,12 @@ _TRADE_PR_DAMPING_PCT = 85
 # the old 1e6 offset (ADVICE r10). Shared by the distributed build,
 # the driver-local replay, and the oracle, like the constants above.
 SUPP_NODE_OFFSET = 1 << 30
+# Version stamp for the write-once trade-graph edge layout: folded
+# into the layout cache key alongside SUPP_NODE_OFFSET so derivation
+# changes invalidate materialized /tmp edges automatically (r11
+# advice: a code change must never serve stale edges under a
+# correct-looking source fingerprint).
+_EDGE_LAYOUT_DERIVATION_V = 2
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,7 +1525,13 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
         kb = fingerprint_cache_dir(sf_dir, "tg", "lineitem")
     except OSError:
         return None
-    h = hashlib.sha256(f"{ka}|{kb}".encode()).hexdigest()[:16]
+    # The key folds in every input the layout CONTENTS depend on, not
+    # just the source tables: SUPP_NODE_OFFSET changed in r11 and a
+    # fingerprint-only key would have served stale pre-change edges.
+    # Bump _EDGE_LAYOUT_DERIVATION_V whenever _trade_pairs semantics
+    # change without an accompanying constant change.
+    derivation = f"off={SUPP_NODE_OFFSET};v={_EDGE_LAYOUT_DERIVATION_V}"
+    h = hashlib.sha256(f"{ka}|{kb}|{derivation}".encode()).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), "smrgh_roundtrip", f"tradegraph1_edges_{h}"
     )

@@ -99,11 +99,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # keep bucketed scans bucketed even when the IMMEDIATE plan
-        # shows no join (default auto mode re-reads as plain files):
-        # the pagerank edge layout localCheckpoints a bare bucketed
-        # scan precisely to capture HashPartitioning(src) for the loop
-        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     )
     if extra_conf:
         for key, value in extra_conf.items():
