@@ -886,30 +886,15 @@ def ngram_jaccard_pair_graph(
 CC_LOCAL_MAX_EDGES = 500_000
 
 
-def _cc_local(edges: DataFrame, n_probe: int) -> DataFrame | None:
-    """Bounded small-graph fast path: if the CONTRACTED canonical edge
-    set fits the driver budget, collect it and run union-find with
-    min-label roots — semantically identical to the star-contraction
-    fixpoint (both label every vertex with its component minimum), at
-    microseconds instead of one Spark job per half-round. Returns
-    None above the ceiling so the caller falls through to the
-    distributed loop. This mirrors what every single-node engine does
-    and what a cluster job does after LSH contraction has shrunk the
-    duplicate graph by orders of magnitude; it is NOT a replacement
-    for the distributed path, which stays property-tested and kicks in
-    past the ceiling."""
-    from ..plans.budget import local_tier_enabled
-
-    # shared budget gate (plans/budget.py): honors the
-    # forced-distributed switch BEFORE paying the probe job
-    if not local_tier_enabled(n_probe):
-        return None
-    # count-first probe (edges is localCheckpointed — one cheap
-    # cached-RDD job) so an over-ceiling graph never transfers rows
-    # just to be rejected
-    if edges.count() > n_probe:
-        return None
-    pdf = edges.toPandas()  # Arrow columnar transfer
+def _cc_local_pdf(pdf, spark) -> DataFrame:
+    """Union-find with min-label roots over a driver-resident edge
+    frame (columns hi, lo) — the bounded small-graph fast path body,
+    semantically identical to the star-contraction fixpoint (both
+    label every vertex with its component minimum). This mirrors what
+    every single-node engine does and what a cluster job does after
+    LSH contraction has shrunk the duplicate graph by orders of
+    magnitude; it is NOT a replacement for the distributed path, which
+    stays property-tested and kicks in past the ceiling."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -933,9 +918,7 @@ def _cc_local(edges: DataFrame, n_probe: int) -> DataFrame | None:
             else:
                 parent[ra] = rb
     out = [(v, find(v)) for v in parent]
-    return edges.sparkSession.createDataFrame(
-        out, "id long, cluster_id long"
-    )
+    return spark.createDataFrame(out, "id long, cluster_id long")
 
 
 def connected_components(
@@ -998,20 +981,36 @@ def _connected_components_star(
     O(log n) bound is testable (0 when the bounded local fast path
     answered — pass ``local_max_edges=0`` to force the distributed
     loop)."""
+    from ..plans.budget import local_tier_enabled
+
     # canonical undirected edge set: (hi, lo) with hi > lo
-    edges = (
+    edges_decl = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
             F.least(F.col(a_col), F.col(b_col)).alias("lo"),
         )
         .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
     )
-    if local_max_edges > 0:
-        local = _cc_local(edges, local_max_edges)
-        if local is not None:
-            return local, 0
+    if local_tier_enabled(local_max_edges):
+        # single-pass bounded probe: limit(ceiling + 1).toPandas()
+        # executes the pair pipeline ONCE with no checkpoint write —
+        # <= ceiling rows back means the transfer IS the complete edge
+        # set (transfer stays bounded at ceiling + 1 rows regardless of
+        # graph size). The r11 shape paid checkpoint (pipeline + write)
+        # + count + a separate toPandas read for the same answer
+        # (dedup_clusters 1.94 -> ~1.3 s at sf0.1). Trade-off: an
+        # over-ceiling graph re-executes the pipeline into the
+        # checkpoint below — acceptable because past the ceiling the
+        # iterative loop dominates and the probe cost is one of its
+        # many passes; the forced-distributed switch skips the probe
+        # entirely.
+        pdf = edges_decl.limit(local_max_edges + 1).toPandas()
+        if len(pdf) <= local_max_edges:
+            return _cc_local_pdf(pdf, pairs.sparkSession), 0
+    # each round's plan references the previous round's edges twice —
+    # truncate lineage once here (see docstring)
+    edges = edges_decl.localCheckpoint()
     # vertices is consumed ONCE (the final labeling join) and reads the
     # already-checkpointed edges — lazy is fine; checkpointing it here
     # would pay an extra materialization job per invocation

