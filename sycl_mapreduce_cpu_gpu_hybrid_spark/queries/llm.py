@@ -1294,9 +1294,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_unigram_surprise — no float log). Terms are word bigrams
     (same reasoning as text_inverted_index: the fixture's unigram
     vocabulary is saturated), stop-bigrams above df 100 dropped by the
-    same cap. Plan: tf aggregates on (doc, term); the df/idf side is
-    term-keyed and joins back on term — two keyed shuffles, then a
-    per-doc top-k window. Ties break on term for determinism."""
+    same cap.
+
+    Plan (r12): tf is computed INSIDE the row — sort the document's
+    bigram array and run-length encode it (zip_with over run-start
+    positions) — so the (doc, term, tf) frame needs NO shuffle at
+    all. Per-document term frequency needs no cross-row state, the
+    same observation that moved corpus_decontaminate's per-doc gram
+    distinct in-row; the r11 plan shuffled every (doc, term-string)
+    INSTANCE into a groupBy (~19M string-keyed rows at the derived
+    sf1 — the one r11 perf-weak residual whose gap did NOT amortize
+    with scale: 5.0x at both sf0.1 and sf1). Downstream: df
+    aggregates the tf frame's term column (partial agg compresses to
+    per-partition distinct terms before the exchange), idf joins
+    back, and the per-doc top-5 window re-partitions by doc_id. Ties
+    break on term for determinism."""
     from ..operators.dedup import normalize_text
     from ..sources.tables import fan_out
 
@@ -1310,19 +1322,48 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    terms = d.select("doc_id", F.explode(bigrams).alias("term"))
+    # in-row run-length tf: runs of the sorted array are (start_i,
+    # start_{i+1}) windows; zip_with pairs each run start with the
+    # next (the trailing sentinel n+1 closes the last run)
+    sb = F.array_sort(bigrams)
+    nb = F.size(sb)
+    starts = F.when(
+        nb >= 1,
+        F.filter(
+            F.sequence(F.lit(1), nb),
+            lambda i: (i == 1) | (F.element_at(sb, i) != F.element_at(sb, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    run_tf = F.when(
+        nb >= 1,
+        F.zip_with(
+            starts,
+            F.concat(
+                # greatest(.., 0): slice raises on a negative length
+                # when the doc has a single run (starts length 1)
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(nb + 1),
+            ),
+            lambda s, e: F.struct(
+                F.element_at(sb, s).alias("term"),
+                (e - s).cast("bigint").alias("tf"),
+            ),
+        ),
+        # no-bigram docs yield NO tf rows (zip_with would pad the empty
+        # starts against the [nb+1] sentinel into one NULL row)
+    ).otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
     # tf feeds BOTH the df/idf aggregation and the score join; without
-    # a materialization the tokenize+explode+groupBy lineage executes
-    # twice (AQE exchange reuse is 1-of-4 reliable here — the minhash
-    # lesson pinned in tests/test_plans.py). persist (lazy, shared at
+    # a materialization the tokenize+RLE lineage executes twice (AQE
+    # exchange reuse is 1-of-4 reliable here — the minhash lesson
+    # pinned in tests/test_plans.py). persist (lazy, shared at
     # execution) instead of localCheckpoint (eager at declaration): the
     # tf build stays on the measured clock, once, and the declaration
     # stays pure so the prepared-plan cache applies.
     from pyspark import StorageLevel
 
     tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        d.select("doc_id", F.explode(run_tf).alias("_r"))
+        .select("doc_id", F.col("_r.term").alias("term"), F.col("_r.tf").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
