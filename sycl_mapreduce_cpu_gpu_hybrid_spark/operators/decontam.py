@@ -29,35 +29,55 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text
 
 
-def word_ngram_array(text_col: Column | str, n: int) -> Column:
-    """Array of overlapping word ``n``-grams (space-joined) of the
-    normalized text. Documents with fewer than ``n`` tokens yield an
-    empty array — the sequence() is guarded because Spark's
-    sequence(1, 0) DESCENDS ([1, 0]) rather than returning empty."""
-    toks = F.split(normalize_text(text_col), " ")
-    n_grams = F.size(toks) - (n - 1)
+def word_ngram_array_from_tokens(tok_col: Column, n: int) -> Column:
+    """Array of overlapping word ``n``-grams (space-joined) from an
+    ALREADY-SPLIT token array column. Prefer this over
+    :func:`word_ngram_array` whenever the caller can stage the split
+    into its own projection: lambda bodies (higher-order functions)
+    get no common-subexpression elimination, so a split captured
+    inline re-evaluates per gram — staging the tokens measured 2.25
+    -> 1.07 s on the sf1 bigram explode (r12). Documents with fewer
+    than ``n`` tokens yield an empty array — the sequence() is
+    guarded because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+    than returning empty."""
+    n_grams = F.size(tok_col) - (n - 1)
     return F.when(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(tok_col, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_array(text_col: Column | str, n: int) -> Column:
+    """Array of overlapping word ``n``-grams (space-joined) of the
+    normalized text. NOTE: the split is captured inside the transform
+    lambda and re-evaluates per gram — fine for one-shot expressions
+    over short text, but hot paths should stage the tokens as a
+    column and use :func:`word_ngram_array_from_tokens`."""
+    return word_ngram_array_from_tokens(F.split(normalize_text(text_col), " "), n)
 
 
 def doc_ngrams(
     docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, gram) with per-document distinct word n-grams. The
-    distinct happens INSIDE the row (array_distinct before the
-    explode), not as a (id, gram) DISTINCT aggregate — per-document
-    uniqueness needs no cross-row state, so the r11 plan's full
-    exchange of every (doc, gram-text) pair was pure waste (r12:
-    corpus_decontaminate 1.06 -> 0.43 s at sf0.1; the plan is now
-    scan -> project -> join with zero corpus-side shuffle)."""
-    return docs.select(
+    """(id, gram) with per-document distinct word n-grams. Two r12
+    structural moves: the distinct happens INSIDE the row
+    (array_distinct before the explode, not a (id, gram) DISTINCT
+    aggregate — per-document uniqueness needs no cross-row state, so
+    the r11 plan's full exchange of every (doc, gram-text) pair was
+    pure waste), and the token split is STAGED as a column so the
+    gram-building lambda references a bound array instead of
+    re-evaluating the split per gram (lambdas get no CSE)."""
+    toks = docs.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("_tk")
+    )
+    return toks.select(
         id_col,
-        F.explode(F.array_distinct(word_ngram_array(text_col, n))).alias("gram"),
+        F.explode(
+            F.array_distinct(word_ngram_array_from_tokens(F.col("_tk"), n))
+        ).alias("gram"),
     )
 
 

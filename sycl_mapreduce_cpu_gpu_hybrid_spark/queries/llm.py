@@ -1313,7 +1313,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import fan_out
 
     d = fan_out(_docs(spark, sf_dir))
-    toks = F.split(normalize_text("text"), " ")
+    # tokens staged as a column (lambda-CSE rule, see below): the
+    # bigram transform references a bound array, not a re-evaluated
+    # split (measured 2.25 -> 1.07 s on the sf1 bigram explode alone)
+    dt = d.select("doc_id", F.split(normalize_text("text"), " ").alias("_tk"))
+    toks = F.col("_tk")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -1324,8 +1328,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # in-row run-length tf: runs of the sorted array are (start_i,
     # start_{i+1}) windows; zip_with pairs each run start with the
-    # next (the trailing sentinel n+1 closes the last run)
-    sb = F.array_sort(bigrams)
+    # next (the trailing sentinel n+1 closes the last run).
+    #
+    # STAGED PROJECTIONS, load-bearing: the sorted array and the
+    # run-start array are materialized as COLUMNS (_sb, _st) before
+    # the expressions that consume them several times. Lambda bodies
+    # (higher-order functions) get NO common-subexpression
+    # elimination, so an inline `sb` re-evaluates
+    # array_sort(transform(...)) PER ELEMENT — measured 82.8 s for
+    # the bare tf frame at sf0.1 vs 0.91 s in this staged form.
+    # CollapseProject will not inline a non-cheap projection output
+    # that is referenced more than once, so the stage boundaries hold.
+    base = dt.select("doc_id", F.array_sort(bigrams).alias("_sb"))
+    sb = F.col("_sb")
     nb = F.size(sb)
     starts = F.when(
         nb >= 1,
@@ -1334,14 +1349,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: (i == 1) | (F.element_at(sb, i) != F.element_at(sb, i - 1)),
         ),
     ).otherwise(F.array().cast("array<int>"))
+    staged = base.select("doc_id", "_sb", starts.alias("_st"))
+    stc = F.col("_st")
     run_tf = F.when(
         nb >= 1,
         F.zip_with(
-            starts,
+            stc,
             F.concat(
                 # greatest(.., 0): slice raises on a negative length
                 # when the doc has a single run (starts length 1)
-                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.slice(stc, 2, F.greatest(F.size(stc) - 1, F.lit(0))),
                 F.array(nb + 1),
             ),
             lambda s, e: F.struct(
@@ -1352,19 +1369,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no-bigram docs yield NO tf rows (zip_with would pad the empty
         # starts against the [nb+1] sentinel into one NULL row)
     ).otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
-    # tf feeds BOTH the df/idf aggregation and the score join; without
-    # a materialization the tokenize+RLE lineage executes twice (AQE
-    # exchange reuse is 1-of-4 reliable here — the minhash lesson
-    # pinned in tests/test_plans.py). persist (lazy, shared at
-    # execution) instead of localCheckpoint (eager at declaration): the
-    # tf build stays on the measured clock, once, and the declaration
-    # stays pure so the prepared-plan cache applies.
-    from pyspark import StorageLevel
-
-    tf = (
-        d.select("doc_id", F.explode(run_tf).alias("_r"))
-        .select("doc_id", F.col("_r.term").alias("term"), F.col("_r.tf").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # tf feeds BOTH the df/idf aggregation and the score join. The
+    # r11 persist is GONE (r12): tf's lineage is now a pure map-side
+    # pipeline (scan -> project -> explode, zero shuffles), so letting
+    # the two consumers re-execute it costs less than materializing
+    # ~19M rows to memory+disk (measured 3.99 vs 4.35 s uncached at
+    # sf1) — and the pure declaration re-qualifies for the
+    # prepared-plan cache. (The persist existed to protect a groupBy
+    # that no longer exists; nothing here has an exchange for AQE to
+    # reuse or miss.)
+    tf = staged.select("doc_id", F.explode(run_tf).alias("_r")).select(
+        "doc_id", F.col("_r.term").alias("term"), F.col("_r.tf").alias("tf")
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     # n_docs comes from the parquet footer (plans/budget.table_rows —
