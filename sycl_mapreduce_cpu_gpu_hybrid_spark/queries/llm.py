@@ -1143,20 +1143,23 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded. One shuffle on the term; posting lists are bounded by
     the cap, so no reducer hot-spots at scale."""
     from ..operators.dedup import normalize_text
-
-    toks = F.split(normalize_text("text"), " ")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     from ..sources.tables import fan_out
 
     d = fan_out(_docs(spark, sf_dir))
-    terms = d.select(
+    # tokens staged + zip_with bigrams (the "Lambdas get no CSE" rule:
+    # arguments evaluate once, the lambda has no captures)
+    dt = d.select("doc_id", F.split(normalize_text("text"), " ").alias("_tk"))
+    toks = F.col("_tk")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = dt.select(
         "doc_id", F.explode(F.array_distinct(bigrams)).alias("term")
     )
     return (
@@ -1319,11 +1322,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select("doc_id", F.split(normalize_text("text"), " ").alias("_tk"))
     toks = F.col("_tk")
     n = F.size(toks)
+    # zip_with over shifted slices: arguments evaluate once, the
+    # lambda has no captures (the "Lambdas get no CSE" rule)
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # in-row run-length tf: runs of the sorted array are (start_i,
