@@ -198,3 +198,37 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_runtime_filtered")
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_tfidf_rle_stays_staged(spark, sf_dir):
+    # the in-row RLE tf depends on array_sort/run-starts living in
+    # their OWN Projects: lambdas get no common-subexpression
+    # elimination, so if CollapseProject ever inlines the sorted
+    # array into the Generate's zip_with, the sort re-evaluates per
+    # element (measured 82.8s vs 0.91s for the bare tf frame at
+    # sf0.1 — SCALING.md "Lambdas get no CSE"). Pin: no Generate line
+    # may contain array_sort; the staged projections must exist.
+    plan = _plan(spark, sf_dir, "text_tfidf_topterms")
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines, plan
+    assert all("array_sort" not in ln for ln in gen_lines), gen_lines
+    assert "array_sort" in plan  # staged in a Project, not gone
+
+
+def test_q3_reads_flat_layout_no_smj(spark, sf_dir):
+    # the denormalized order-line layout removes both join exchanges:
+    # the only join left is the broadcast customer probe, the top-k
+    # plans as TakeOrderedAndProject, and the flat scan carries the
+    # pushed date filters (file-backed fixture dirs only — the
+    # three-table fallback covers view-backed dirs)
+    import os
+
+    if not os.path.isfile(os.path.join(sf_dir, "orders.parquet")):
+        import pytest
+
+        pytest.skip("view-backed fixture: q3 uses the join fallback")
+    plan = _plan(spark, sf_dir, "tpch_q3_priority")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "orderline_flat" in plan, plan
