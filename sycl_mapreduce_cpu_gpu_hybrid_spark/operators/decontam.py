@@ -93,9 +93,15 @@ def contamination_hits(
     benchmark: (id, n_hits) for every corpus document with at least
     one overlap. ``n=13`` is the published default for real corpora;
     callers tune it to their tokenization."""
-    bench_grams = benchmark.select(
-        F.explode(word_ngram_array(text_col, n)).alias("gram")
-    ).distinct()
+    bench_grams = (
+        benchmark.select(F.split(normalize_text(text_col), " ").alias("_tk"))
+        .select(
+            F.explode(word_ngram_array_from_tokens(F.col("_tk"), n)).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
     corpus_grams = doc_ngrams(corpus, n, text_col, id_col)
     if broadcast_bench:
         # raw-gram broadcast probe: the join hashes the key internally,
