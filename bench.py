@@ -155,6 +155,7 @@ def run_inventory(
     ls: int,
     errors: dict[str, str] | None = None,
     queries: dict | None = None,
+    record_points: bool = True,
 ) -> dict[str, float]:
     if queries is None:
         import __spark_entry__ as entrymod
@@ -181,15 +182,20 @@ def run_inventory(
         # must never zero the whole bench artifact — record the error
         # and keep timing the rest.
         try:
-            # per-point warm-up, excluded from metrics (runprogram.sh:29-41)
-            force(fn(spark, sf_dir))
+            if record_points:
+                # per-point warm-up, excluded from metrics
+                # (runprogram.sh:29-41)
+                force(fn(spark, sf_dir))
             # min of two timed runs: the host shows episodic CPU-steal
             # bursts; min is the standard noise-robust point estimate.
             # Secondary metrics bracket only the LAST run (one clean
             # START..STOP window, reference Metric() protocol).
+            # Extra min-of-N passes (record_points=False) time once —
+            # pass 1 already warmed JIT/codegen; the caller takes the
+            # min across passes.
             best = float("inf")
-            for i in range(2):
-                if i == 1:
+            for i in range(2 if record_points else 1):
+                if record_points and i == 1:
                     stages_before = capture.stages()
                     cpu.snapshot_start()
                 if markers:
@@ -215,6 +221,8 @@ def run_inventory(
         spark.catalog.clearCache()
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist(True)
+        if not record_points:
+            continue
 
         def rec(metric: int, value: float) -> None:
             recorder.record(
@@ -403,6 +411,27 @@ def main() -> None:
     recorder = MetricsRecorder()
     errors: dict[str, str] = {}
     timings = run_inventory(spark, sf_dir, recorder, n_scale, ls, errors)
+    # Min-of-N passes (r12 verdict task 4): a single-pass total on this
+    # shared host reads up to 24% over the quiet-window floor (BENCH_r12
+    # 63.98 s vs 3 quiet passes at ~47 s on identical code — ambient
+    # tenant load, see SCALING.md "Ambient-load variance"). Pass 1 above
+    # keeps the reference measurement protocol (warm-up + min-of-2 +
+    # secondary-metric bracket + points.txt rows); passes 2..N re-time
+    # each query once — declarations come from the prepared-plan cache,
+    # caches are cleared per query, so every extra pass is a full
+    # uncached execution. The artifact carries per-pass totals and the
+    # headline becomes the per-query min across passes: the statistic
+    # the quiet-window files carried manually in r11/r12.
+    n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")), 1)
+    pass_totals = [round(sum(timings.values()), 4)]
+    for _ in range(n_passes - 1):
+        extra = run_inventory(
+            spark, sf_dir, recorder, n_scale, ls, errors,
+            record_points=False,
+        )
+        pass_totals.append(round(sum(extra.values()), 4))
+        for name, sec in extra.items():
+            timings[name] = min(timings.get(name, float("inf")), sec)
     if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
         run_sweep(spark, sf_dir, recorder, ls)
         run_sweep_magnitude(spark, sf_dir, recorder, ls)
@@ -411,8 +440,13 @@ def main() -> None:
 
     out = {
         "metric": "bench_total_wall",
+        # headline = sum of per-query min across passes (the quiet-
+        # window floor statistic); pass_totals carries each raw pass
+        # so a genuine regression still surfaces as a shifted floor
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "bench_passes": n_passes,
+        "pass_totals": pass_totals,
         "queries": timings,
         "sf": sf,
         "duck_floor": duck_floor(sf_dir),

@@ -44,62 +44,12 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # --- r12 rotation (r11 verdict task 5): replaying
-    # CORRECTNESS_r01-r11, no current name's latest green evidence
-    # predates r9. The 39 names whose latest evidence is r9 come
-    # first, then the 37 whose latest is r10 (a 50-name gate sample
-    # covers all of r9 plus the oldest 11 of r10; after r12 the r9
-    # cohort should be empty).
-    "agg_grouping_sets",
-    "agg_mode_pack",
-    "corpus_decontaminate",
-    "corpus_pack_tokens",
-    "corpus_sample_stratified",
-    "corpus_temperature_weights",
-    "dedup_incremental",
-    "dq_audit",
-    "embedding_norm_stats",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_concurrency",
-    "events_funnel",
-    "events_gapfill",
-    "events_histogram",
-    "events_rolling_7d",
-    "events_rolling_distinct",
-    "events_top_paths",
-    "events_transition_matrix",
-    "events_zorder_key",
-    "join_exists_correlated",
-    "join_point_in_time",
-    "join_runtime_filtered",
-    "merge_upsert",
-    "orders_yoy_growth",
-    "pareto_revenue",
-    "scd2_order_priority",
-    "stream_cdc_upsert",
-    "text_bigram_lm",
-    "text_chunk_sliding",
-    "text_inverted_index",
-    "text_unigram_surprise",
-    "tpch_q14_promo_share",
-    "tpch_q18_volume_customers",
-    "tpch_q3_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast_revenue",
-    "window_distribution_pack",
-    "agg_pivot",
-    "agg_rollup_cube",
-    "asof_last_purchase",
-    "corpus_curate",
-    "corpus_mix_schedule",
-    "dedup_clusters",
-    "dedup_editdistance_verify",
-    "dedup_ngram_jaccard",
-    "embedding_quantize_int8",
-    "graph_triangles",
-    "join_anti",
+    # --- r13 rotation (r12 verdict task 3): replaying
+    # CORRECTNESS_r01-r12, the 26 names below have latest green
+    # evidence from r10 (two rounds stale) and come first; the 50
+    # r11-latest names follow. A 50-name gate sample covers all 26
+    # plus the oldest 24 of the r11 cohort; after r13 no name's
+    # latest green should predate r11.
     "join_bucketed_colocated",
     "join_full_outer",
     "join_inner_agg",
@@ -126,6 +76,57 @@ _GATE_PRIORITY = [
     "window_frames_pack",
     "window_latest_order",
     "window_rank_parts",
+    # r11 cohort:
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_median",
+    "agg_median_approx",
+    "agg_pricing_summary",
+    "agg_quantile_bands",
+    "agg_stats_moments",
+    "array_pack",
+    "basket_pairs",
+    "corpus_split",
+    "date_map_pack",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_portable",
+    "dedup_simhash_pairs",
+    "embedding_kmeans",
+    "events_json_extract",
+    "events_sessionization",
+    "events_time_agg",
+    "filter_project_cast",
+    "graph_pagerank",
+    "graph_pagerank_directed",
+    "kmer_count_k4",
+    "kmer_count_k8_all",
+    "kmer_total_k5",
+    "math_pack",
+    "multimodal_features",
+    "predicates_case_pack",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "sort_multikey",
+    "source_binaryfile_roundtrip",
+    "stream_dedup",
+    "stream_parquet_sink",
+    "stream_rate_source",
+    "stream_running_max",
+    "stream_sliding_avg",
+    "stream_tumbling_counts",
+    "string_pack",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_quality",
+    "text_simhash",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "topk_orders",
+    "udf_kernel_pack",
+    "udtf_top_words_arrow",
 ]
 
 
