@@ -104,10 +104,19 @@ def contamination_hits(
     )
     corpus_grams = doc_ngrams(corpus, n, text_col, id_col)
     if broadcast_bench:
-        # raw-gram broadcast probe: the join hashes the key internally,
-        # so an explicit md5 projection on every corpus gram (r11 plan)
-        # only added ~2M digest evaluations per sf0.1 pass for nothing
-        joined = corpus_grams.join(F.broadcast(bench_grams), "gram")
+        # broadcast the 16-byte md5 digest, not the raw gram text: the
+        # build relation is what sits in EVERY executor's memory, and
+        # at the n=13 default a raw gram is ~100 bytes — a benchmark
+        # that fits as digests (16 bytes/gram) can exceed the
+        # broadcast/driver ceiling 6x sooner as text (r12 advisory).
+        # The probe side stays raw: md5 evaluates inside the join-key
+        # expression (BroadcastHashJoin key extraction), so corpus
+        # grams get no extra projection, shuffle, or materialization.
+        bench_keys = bench_grams.select(F.md5("gram").alias("gram_key"))
+        joined = corpus_grams.join(
+            F.broadcast(bench_keys),
+            F.md5(corpus_grams["gram"]) == bench_keys["gram_key"],
+        )
     else:
         # shuffle join fallback: key on the fixed-width md5 so shuffle
         # volume is 16 bytes per (doc, gram), never the gram text

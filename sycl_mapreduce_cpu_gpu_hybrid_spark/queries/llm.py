@@ -220,26 +220,35 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_LSH = dict(threshold=0.4, n_planes=64, bands=8, max_bucket=500, dim=64)
 
-_EMB_DIM_CACHE: dict[str, int] = {}
+_EMB_DIM_CACHE: dict[tuple, int] = {}
 
 
 def _embedding_dim_probe(sf_dir: str) -> int | None:
     """Embedding dimensionality from the first row of the fixture's
     embeddings.parquet via pyarrow (bounded single-row read, zero
-    Spark jobs), memoized per fixture dir. None when the fixture is
-    not a plain single-file parquet table (caller falls back to a
-    Spark probe)."""
-    if sf_dir not in _EMB_DIM_CACHE:
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.isfile(path):
-            return None
+    Spark jobs), memoized per (path, size, mtime_ns) — the same
+    staleness contract as fingerprint_cache_dir, so a fixture
+    regenerated in-place within one process lifetime can never serve
+    a stale dim past the dim-mismatch loud-failure guard. None when
+    the fixture is not a plain single-file parquet table or has zero
+    rows (caller falls back to a Spark probe)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _EMB_DIM_CACHE:
         import pyarrow.parquet as pq
 
         batch = next(
-            pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+            pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"]),
+            None,
         )
-        _EMB_DIM_CACHE[sf_dir] = len(batch.column(0)[0])
-    return _EMB_DIM_CACHE[sf_dir]
+        if batch is None or batch.num_rows == 0:
+            return None
+        _EMB_DIM_CACHE[key] = len(batch.column(0)[0])
+    return _EMB_DIM_CACHE[key]
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1361,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb >= 1,
         F.filter(
             F.sequence(F.lit(1), nb),
-            lambda i: (i == 1) | (F.element_at(sb, i) != F.element_at(sb, i - 1)),
+            # greatest(i-1, 1): index 0 is a runtime error in ANSI
+            # element_at, and relying on Or short-circuit to skip the
+            # right operand at i==1 is an implicit evaluation-order
+            # dependency (r12 advisory). Clamped, i==1 compares
+            # sb[1] != sb[1] (false) and the left disjunct decides.
+            lambda i: (i == 1)
+            | (
+                F.element_at(sb, i)
+                != F.element_at(sb, F.greatest(i - 1, F.lit(1)))
+            ),
         ),
     ).otherwise(F.array().cast("array<int>"))
     staged = base.select("doc_id", "_sb", starts.alias("_st"))

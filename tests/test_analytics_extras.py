@@ -58,3 +58,34 @@ def test_tfidf_topk_shape(spark, sf_dir):
         assert all(
             a["score"] >= b["score"] for a, b in zip(by_rank, by_rank[1:])
         )
+
+def test_tfidf_single_run_and_edge_docs(spark, sf_dir):
+    """Run-start extraction over degenerate documents (r12 advisory):
+    a single-run document (every bigram identical) must yield exactly
+    one tf row with tf == run length, regardless of whether the
+    engine short-circuits the i==1 disjunct — the lookback index is
+    clamped so element_at(sb, 0) is never constructed. Also pins the
+    0-bigram (one-token) and 1-bigram shapes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # 4 identical bigrams, 1 run
+            (2, "solo"),  # no bigrams -> no tf rows
+            (3, "alpha beta"),  # exactly one bigram
+        ],
+        "doc_id int, text string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = text_tfidf_topterms(spark, td).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1
+    assert by_doc[1][0]["term"] == "spam spam"
+    assert by_doc[1][0]["tf"] == 4
+    assert 2 not in by_doc
+    assert len(by_doc.get(3, [])) == 1
+    assert by_doc[3][0]["tf"] == 1
