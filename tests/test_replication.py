@@ -160,3 +160,99 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+def test_minhash_portable_signatures_replicate_from_spec(spark):
+    """Portable MinHash signatures (r12 verdict task 5), re-derived in
+    pure Python from the published contract — NOT from porthash.py:
+    shingles are every 6-byte window of the raw text; the base hash is
+    the first 15 hex chars of md5(shingle) as an integer, reduced mod
+    the largest prime below 2^30; component i applies the affine map
+    (a_i * h + b_i) mod p with a_i = 1 + md5('mh:i:a')[:15] % (p-1),
+    b_i = md5('mh:i:b')[:15] % p (the documented counter-md5
+    derivation, restated here verbatim so a bug in
+    minhash_affine_coeffs' rendering or porthash's substr/mod cannot
+    hide). A shared-formula bug between operators/dedup.py and the
+    generated DuckDB oracle is invisible to parity; it fails here."""
+    import hashlib
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    P = 1_073_741_789  # largest prime < 2^30 (the published modulus)
+    NH, K = 16, 6
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    coeffs = [
+        (1 + md5_60(f"mh:{i}:a") % (P - 1), md5_60(f"mh:{i}:b") % P)
+        for i in range(NH)
+    ]
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))[:20]
+
+    expected: dict[int, list[int]] = {}
+    for did, text in docs:
+        b = text.encode()  # byte windowing; fixtures are ASCII
+        hs = [
+            md5_60(b[i : i + K].decode()) % P for i in range(len(b) - K + 1)
+        ]
+        if not hs:
+            continue
+        expected[did] = [min((a * h + c) % P for h in hs) for a, c in coeffs]
+
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(
+            sdf, k=K, num_hashes=NH, portable=True
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_portable_fingerprints_replicate_from_spec(spark):
+    """Portable SimHash fingerprints (r12 verdict task 5), re-derived
+    in pure Python from the declared semantics with NO lane packing:
+    tokens are the normalized text split on single spaces; each token
+    hashes to the 60-bit md5 value; bit i of the fingerprint is set
+    iff strictly more tokens have bit i set than clear. The Spark
+    kernel computes this as 30 packed two-lane conditional sums
+    (operators/dedup.py simhash) and the DuckDB oracle replays
+    per-bit CASE sums — a bug in the packing/unpacking arithmetic
+    shared conceptually with the oracle's formula fails here against
+    the set-vs-clear majority restated directly."""
+    import hashlib
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import simhash
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))[:20]
+
+    expected: dict[int, int] = {}
+    for did, text in docs:
+        toks = [t for t in _normalize(text).split(" ") if t]
+        if not toks:
+            continue
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+        ]
+        fp = 0
+        for i in range(60):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):  # strictly more set than clear
+                fp |= 1 << i
+        expected[did] = fp
+
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(sdf, portable=True).collect()
+    }
+    assert got == expected
