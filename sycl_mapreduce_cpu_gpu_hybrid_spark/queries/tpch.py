@@ -42,22 +42,33 @@ _REV_E6_SQL = _REV_E6  # identical text is valid in both dialects
 # Version stamp for the write-once denormalized order-line layout —
 # folded into the layout key so derivation changes invalidate
 # materialized /tmp copies automatically (the r11 edge-layout lesson).
-_ORDERLINE_LAYOUT_V = 1
+# v2 (r13): + c_mktsegment denormalized in, + bucketed by l_orderkey.
+_ORDERLINE_LAYOUT_V = 2
+_ORDERLINE_BUCKETS = 32
 
 
 def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """Write-once denormalized orders|><|lineitem sales view
-    (l_orderkey, o_custkey, o_orderdate, l_shipdate, rev_e6) — the
-    canonical warehouse materialization, maintained at ingest in a
-    real deployment (sources/warehouse.py's thesis applied to the
-    join itself). Keyed on the fingerprints of BOTH source tables +
-    the derivation version; returns None for view-backed test dirs.
-    Measured at the 10x fixture (scripts/q3_layout_experiment.py,
-    r12): q3 over the flat scan = 1.06 s min-of-3 vs 2.43 s for the
-    SMJ plan on the same session (the r10 entry's 1.98 s at quiet
-    load) — the layout removes both join exchanges, the filters push
-    into the flat scan, and the one-time 6 s build amortizes across
-    runs. Identical top-10 verified in-script."""
+    """Write-once denormalized orders|><|lineitem|><|customer sales
+    view (l_orderkey, o_custkey, o_orderdate, l_shipdate, rev_e6,
+    c_mktsegment) — the canonical wide warehouse materialization,
+    maintained at ingest in a real deployment (sources/warehouse.py's
+    thesis applied to the star join itself). Keyed on the
+    fingerprints of all three source tables + the derivation version;
+    returns None for view-backed test dirs.
+
+    v2 is BUCKETED by l_orderkey (external bucketed table over the
+    fingerprint-keyed dir): every l_orderkey's lines land in one
+    bucket, and o_orderdate is functionally dependent on l_orderkey,
+    so a groupBy(l_orderkey, o_orderdate) runs as an in-partition
+    complete aggregate with NO exchange — q3 becomes one stage
+    (bucketed scan -> pushed filters -> hash agg -> TakeOrdered).
+    Measured at the 10x fixture (r13): 0.47-0.61 s min-of-4 vs
+    1.11-2.59 s for the v1 flat + broadcast-customer plan on the same
+    session, identical top-10 verified in-script. Denormalizing the
+    tiny c_mktsegment dimension column in (dictionary-encoded ~1
+    byte/row on disk) is what removes the last join. At cluster scale
+    the bucket count follows the warehouse's standard sizing (one
+    bucket per target task), not this local-mode 32."""
     import hashlib
     import os
     import tempfile
@@ -67,52 +78,92 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
     try:
         ka = fingerprint_cache_dir(sf_dir, "ol", "orders")
         kb = fingerprint_cache_dir(sf_dir, "ol", "lineitem")
+        kc = fingerprint_cache_dir(sf_dir, "ol", "customer")
     except OSError:
         return None
     h = hashlib.sha256(
-        f"{ka}|{kb}|v={_ORDERLINE_LAYOUT_V}".encode()
+        f"{ka}|{kb}|{kc}|v={_ORDERLINE_LAYOUT_V}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), "smrgh_roundtrip", f"orderline_flat_{h}"
     )
+    tbl = f"smrgh_orderline_flat_{h}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         prune_layout_variants(path, "orderline", "flat")
+        # the in-memory catalog may hold an entry from an earlier
+        # build in THIS process whose files were since invalidated
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         o = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderdate"
         )
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_shipdate", F.expr(_REV_E6).alias("rev_e6")
         )
-        li.join(o, li.l_orderkey == o.o_orderkey).select(
-            "l_orderkey", "o_custkey", "o_orderdate", "l_shipdate", "rev_e6"
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .select(
+                "l_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "l_shipdate",
+                "rev_e6",
+                "c_mktsegment",
+            )
+            .write.mode("overwrite")
+            .bucketBy(_ORDERLINE_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    elif not spark.catalog.tableExists(tbl):
+        # files were written by an earlier process (same /tmp
+        # lifetime) but the in-memory catalog forgot the table:
+        # re-register the external bucketed table over them — the
+        # bucket ids ride in the part-file names, so the spec stays
+        # valid across sessions
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(path).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet"
+            f" CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)"
+            f" INTO {_ORDERLINE_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(tbl)
 
 
 def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
     orders for one market segment. Reads the write-once denormalized
-    order-line layout (_orderline_flat_layout) when the fixture is
-    file-backed — both date predicates push into the flat scan and
-    the only join left is the broadcast customer probe; falls back to
-    the three-table join (Catalyst order + AQE strategy) otherwise.
-    Either way the final top-k is TakeOrderedAndProject
-    (per-partition heaps), never a global sort. Revenue is exact
-    integer e6 fixed-point, so the top-10 cutoff is deterministic
-    across engines — a double sum could flip near-equal ranks 10 and
-    11 by accumulation order."""
-    c = (
-        _t(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
+    bucketed order-line layout (_orderline_flat_layout) when the
+    fixture is file-backed: all three predicates (segment + both
+    dates) push into the bucketed scan, the bucket clustering on
+    l_orderkey satisfies the groupBy's distribution (o_orderdate is
+    functionally dependent on the order key), and the whole query
+    runs as ONE exchange-free stage — scan, filter, complete hash
+    agg, TakeOrderedAndProject (per-partition heaps, never a global
+    sort). Falls back to the three-table join (broadcast customer,
+    Catalyst order + AQE strategy) for view-backed dirs. Revenue is
+    exact integer e6 fixed-point, so the top-10 cutoff is
+    deterministic across engines — a double sum could flip
+    near-equal ranks 10 and 11 by accumulation order."""
     flat = _orderline_flat_layout(spark, sf_dir)
     if flat is not None:
-        filtered = flat.where(
-            (F.col("o_orderdate") < F.lit("1998-01-01"))
+        scored = flat.where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
             & (F.col("l_shipdate") > F.lit("1998-01-01"))
-        ).select("l_orderkey", "o_custkey", "o_orderdate", "rev_e6")
+        ).select("l_orderkey", "o_orderdate", "rev_e6")
     else:
+        c = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
         o = (
             _t(spark, sf_dir, "orders")
             .where(F.col("o_orderdate") < F.lit("1998-01-01"))
@@ -123,12 +174,13 @@ def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("l_shipdate") > F.lit("1998-01-01"))
             .select("l_orderkey", F.expr(_REV_E6).alias("rev_e6"))
         )
-        filtered = li.join(o, li.l_orderkey == o.o_orderkey).select(
-            "l_orderkey", "o_custkey", "o_orderdate", "rev_e6"
+        scored = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("l_orderkey", "o_orderdate", "rev_e6")
         )
     return (
-        filtered.join(c, filtered.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
+        scored.groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum("rev_e6").alias("revenue_e6"))
         .orderBy(F.desc("revenue_e6"), F.asc("l_orderkey"))
         .limit(10)

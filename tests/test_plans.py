@@ -215,12 +215,14 @@ def test_tfidf_rle_stays_staged(spark, sf_dir):
     assert "array_sort" in plan  # staged in a Project, not gone
 
 
-def test_q3_reads_flat_layout_no_smj(spark, sf_dir):
-    # the denormalized order-line layout removes both join exchanges:
-    # the only join left is the broadcast customer probe, the top-k
-    # plans as TakeOrderedAndProject, and the flat scan carries the
-    # pushed date filters (file-backed fixture dirs only — the
-    # three-table fallback covers view-backed dirs)
+def test_q3_reads_flat_layout_exchange_free(spark, sf_dir):
+    # the v2 denormalized BUCKETED order-line layout removes every
+    # join AND the aggregation exchange: segment + both date filters
+    # push into the bucketed scan, the l_orderkey bucket clustering
+    # satisfies the groupBy distribution, the top-k plans as
+    # TakeOrderedAndProject — one stage, zero Exchange nodes
+    # (file-backed fixture dirs only — the three-table fallback
+    # covers view-backed dirs)
     import os
 
     if not os.path.isfile(os.path.join(sf_dir, "orders.parquet")):
@@ -228,7 +230,8 @@ def test_q3_reads_flat_layout_no_smj(spark, sf_dir):
 
         pytest.skip("view-backed fixture: q3 uses the join fallback")
     plan = _plan(spark, sf_dir, "tpch_q3_priority")
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "orderline_flat" in plan, plan
+    assert "Bucketed: true" in plan, plan
