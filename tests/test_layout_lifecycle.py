@@ -1,0 +1,116 @@
+"""Write-once layout lifecycle (r12 verdict task 7): a derivation-
+version bump must (a) re-derive the layout under a NEW key and (b) GC
+the superseded directory via prune_layout_variants — the r11
+SUPP_NODE_OFFSET near-miss class, where a semantics change without a
+key change would have served stale bytes under a correct-looking
+fixture fingerprint. Parameterized over all three fingerprint-keyed
+layout builders (trade edges, ngram pair graph, orderline flat)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+ROOT = os.path.join(tempfile.gettempdir(), "smrgh_roundtrip")
+
+
+def _dirs(family_glob: str) -> set[str]:
+    return set(glob.glob(os.path.join(ROOT, family_glob)))
+
+
+def _build_orderline(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import tpch
+
+    assert tpch._orderline_flat_layout(spark, SF) is not None
+
+
+def _build_ngram(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import llm
+
+    llm._ngram_pair_graph(spark, SF).count()
+
+
+def _build_tradegraph(spark):
+    from pyspark.sql import functions as F
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import relational
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + relational.SUPP_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    assert relational._tradegraph_edge_layout(spark, SF, edges) is not None
+
+
+CASES = [
+    (
+        "orderline",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.tpch",
+        "_ORDERLINE_LAYOUT_V",
+        "orderline_flat_*",
+        _build_orderline,
+    ),
+    (
+        "ngramgraph",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm",
+        "_NGRAM_GRAPH_LAYOUT_V",
+        "ngramgraph_pairs_*",
+        _build_ngram,
+    ),
+    (
+        "tradegraph",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational",
+        "_EDGE_LAYOUT_DERIVATION_V",
+        "tradegraph*_edges_*",
+        _build_tradegraph,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,mod_name,ver_attr,family_glob,build", CASES, ids=[c[0] for c in CASES]
+)
+def test_version_bump_rederives_and_prunes(
+    spark, monkeypatch, name, mod_name, ver_attr, family_glob, build
+):
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+
+    build(spark)
+    before = _dirs(family_glob)
+    assert before, f"{name}: no layout dir materialized under {ROOT}"
+
+    monkeypatch.setattr(mod, ver_attr, getattr(mod, ver_attr) + 1)
+    build(spark)
+    bumped = _dirs(family_glob)
+    assert bumped, f"{name}: bumped layout not materialized"
+    assert bumped.isdisjoint(before), (
+        f"{name}: version bump did not change the layout key: "
+        f"{before} -> {bumped}"
+    )
+    # prune_layout_variants must have GC'd every superseded sibling
+    assert not (before & _dirs(family_glob)), (
+        f"{name}: stale pre-bump layout dir survived the re-derivation"
+    )
+
+    # restoring the version (monkeypatch teardown order: do it
+    # explicitly here so we can assert) re-derives the original key
+    # and GCs the bumped dir
+    monkeypatch.undo()
+    build(spark)
+    final = _dirs(family_glob)
+    assert final.isdisjoint(bumped), (
+        f"{name}: stale bumped layout dir survived the restore"
+    )
