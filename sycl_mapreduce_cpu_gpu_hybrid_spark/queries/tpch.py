@@ -43,7 +43,9 @@ _REV_E6_SQL = _REV_E6  # identical text is valid in both dialects
 # folded into the layout key so derivation changes invalidate
 # materialized /tmp copies automatically (the r11 edge-layout lesson).
 # v2 (r13): + c_mktsegment denormalized in, + bucketed by l_orderkey.
-_ORDERLINE_LAYOUT_V = 2
+# v3 (r13): + l_quantity, so q18's full-fact HAVING aggregate runs
+# exchange-free on the same bucket clustering.
+_ORDERLINE_LAYOUT_V = 3
 _ORDERLINE_BUCKETS = 32
 
 
@@ -97,7 +99,7 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
             "o_orderkey", "o_custkey", "o_orderdate"
         )
         li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_shipdate", F.expr(_REV_E6).alias("rev_e6")
+            "l_orderkey", "l_shipdate", "l_quantity", F.expr(_REV_E6).alias("rev_e6")
         )
         c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         (
@@ -108,6 +110,7 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
                 "o_custkey",
                 "o_orderdate",
                 "l_shipdate",
+                "l_quantity",
                 "rev_e6",
                 "c_mktsegment",
             )
@@ -513,8 +516,16 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs BEFORE any join — the pre-aggregation that keeps the join
     input order-grain, not line-grain.
 
-    Join strategy (r9): the post-HAVING side has no usable static
-    stats (Catalyst sees only the 6M-row lineitem parent, so it
+    Layout path (r13): the v3 bucketed order-line layout carries
+    l_quantity, so the full-fact HAVING aggregate runs as an
+    in-partition complete aggregate with NO exchange (the same
+    l_orderkey bucket-clustering argument as q3), and the orders join
+    disappears entirely — o_custkey and o_orderdate are functionally
+    dependent on the order key, so they ride the aggregate as min().
+    Only the customer-name dimension probe remains.
+
+    Fallback join strategy (r9): the post-HAVING side has no usable
+    static stats (Catalyst sees only the 6M-row lineitem parent, so it
     estimated `big` as the LARGE side and planned a broadcast of the
     1.5M-row orders table — a 1.10s plan at the derived sf1, and an
     OOM at scale). The shuffle_hash hint pins the correct shape:
@@ -524,6 +535,26 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. Measured 1.10 -> 0.48s at sf1; the same plan is the
     one that survives 100 TB (big is fact-derived, never
     driver-collectable)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    flat = _orderline_flat_layout(spark, sf_dir)
+    if flat is not None:
+        big = (
+            flat.groupBy("l_orderkey")
+            .agg(
+                F.expr("CAST(round(sum(l_quantity)) AS BIGINT)").alias(
+                    "total_qty"
+                ),
+                F.min("o_custkey").alias("o_custkey"),
+                F.min("o_orderdate").alias("o_orderdate"),
+            )
+            .where(F.col("total_qty") > 210)
+        )
+        # no broadcast hint: the threshold passes ~5% of orders, so
+        # AQE broadcasts the post-HAVING side at runtime — the side
+        # that stays bounded at 100 TB (customer grows with the fact)
+        return big.join(c, big.o_custkey == c.c_custkey).select(
+            "c_custkey", "c_name", "l_orderkey", "o_orderdate", "total_qty"
+        )
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -533,7 +564,6 @@ def tpch_q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.hint("shuffle_hash")
         .join(o, big.l_orderkey == o.o_orderkey)

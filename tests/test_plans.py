@@ -235,3 +235,21 @@ def test_q3_reads_flat_layout_exchange_free(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "orderline_flat" in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_q18_aggregates_on_bucket_clustering(spark, sf_dir):
+    # the v3 layout carries l_quantity, so q18's full-fact HAVING
+    # aggregate (the heaviest shuffle in its fallback form) runs
+    # partial+final directly on the bucketed scan: no shuffle
+    # exchange anywhere in the plan — the only exchange is the
+    # dimension broadcast (whichever side the planner sizes smaller)
+    import os
+
+    if not os.path.isfile(os.path.join(sf_dir, "orders.parquet")):
+        import pytest
+
+        pytest.skip("view-backed fixture: q18 uses the join fallback")
+    plan = _plan(spark, sf_dir, "tpch_q18_volume_customers")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "orderline_flat" in plan, plan
