@@ -1697,7 +1697,17 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "p_key",
         "cents",
-        F.expr("cum_cents * 10000 DIV total_cents").alias("cum_share_e4"),
+        # decimal(38)-promoted multiply: cum_cents approaches the FULL
+        # lineitem revenue (the last rank's cumulative sum), so the
+        # bigint cum_cents * 10000 loses 10^4 of headroom and overflows
+        # int64 once total revenue passes ~9.2e14 cents — the same live
+        # overflow class q14 hit at the 10x fixture (r13). DIV on a
+        # decimal operand still returns BIGINT, floor-matching DuckDB's
+        # HUGEINT //.
+        F.expr(
+            "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 10000)"
+            " DIV total_cents AS BIGINT)"
+        ).alias("cum_share_e4"),
     ).withColumn(
         "abc_class",
         F.when(F.col("cum_share_e4") <= 8000, "A")
@@ -1722,9 +1732,9 @@ ORACLES["pareto_revenue"] = """
         FROM per_part
     )
     SELECT p_key, CAST(cents AS BIGINT) AS cents,
-           CAST(cum_cents * 10000 // total_cents AS BIGINT) AS cum_share_e4,
-           CASE WHEN cum_cents * 10000 // total_cents <= 8000 THEN 'A'
-                WHEN cum_cents * 10000 // total_cents <= 9500 THEN 'B'
+           CAST(CAST(cum_cents AS HUGEINT) * 10000 // total_cents AS BIGINT) AS cum_share_e4,
+           CASE WHEN CAST(cum_cents AS HUGEINT) * 10000 // total_cents <= 8000 THEN 'A'
+                WHEN CAST(cum_cents AS HUGEINT) * 10000 // total_cents <= 9500 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked
 """

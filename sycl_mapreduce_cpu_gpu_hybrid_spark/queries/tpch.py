@@ -45,18 +45,22 @@ _REV_E6_SQL = _REV_E6  # identical text is valid in both dialects
 # v2 (r13): + c_mktsegment denormalized in, + bucketed by l_orderkey.
 # v3 (r13): + l_quantity, so q18's full-fact HAVING aggregate runs
 # exchange-free on the same bucket clustering.
-_ORDERLINE_LAYOUT_V = 3
+# v4 (r13): + l_partkey and p_type (the part dimension denormalized),
+# so q14 drops its 2M-row broadcast build at the 10x fixture (the
+# driver-side HashedRelation build was ~5s of its 8s).
+_ORDERLINE_LAYOUT_V = 4
 _ORDERLINE_BUCKETS = 32
 
 
 def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """Write-once denormalized orders|><|lineitem|><|customer sales
-    view (l_orderkey, o_custkey, o_orderdate, l_shipdate, rev_e6,
-    c_mktsegment) — the canonical wide warehouse materialization,
-    maintained at ingest in a real deployment (sources/warehouse.py's
-    thesis applied to the star join itself). Keyed on the
-    fingerprints of all three source tables + the derivation version;
-    returns None for view-backed test dirs.
+    """Write-once denormalized orders|><|lineitem|><|customer|><|part
+    sales view (l_orderkey, l_partkey, o_custkey, o_orderdate,
+    l_shipdate, l_quantity, rev_e6, c_mktsegment, p_type) — the
+    canonical wide warehouse materialization, maintained at ingest in
+    a real deployment (sources/warehouse.py's thesis applied to the
+    star join itself). Keyed on the fingerprints of all four source
+    tables + the derivation version; returns None for view-backed
+    test dirs.
 
     v2 is BUCKETED by l_orderkey (external bucketed table over the
     fingerprint-keyed dir): every l_orderkey's lines land in one
@@ -81,10 +85,11 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
         ka = fingerprint_cache_dir(sf_dir, "ol", "orders")
         kb = fingerprint_cache_dir(sf_dir, "ol", "lineitem")
         kc = fingerprint_cache_dir(sf_dir, "ol", "customer")
+        kd = fingerprint_cache_dir(sf_dir, "ol", "part")
     except OSError:
         return None
     h = hashlib.sha256(
-        f"{ka}|{kb}|{kc}|v={_ORDERLINE_LAYOUT_V}".encode()
+        f"{ka}|{kb}|{kc}|{kd}|v={_ORDERLINE_LAYOUT_V}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), "smrgh_roundtrip", f"orderline_flat_{h}"
@@ -99,20 +104,32 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
             "o_orderkey", "o_custkey", "o_orderdate"
         )
         li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_shipdate", "l_quantity", F.expr(_REV_E6).alias("rev_e6")
+            "l_orderkey",
+            "l_partkey",
+            "l_shipdate",
+            "l_quantity",
+            F.expr(_REV_E6).alias("rev_e6"),
         )
         c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
         (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            # part unhinted: dimension-sized here, shuffle-joined by
+            # the planner once it stops fitting a broadcast at scale —
+            # either way the cost lands in the one-time build, not in
+            # every consumer's run
+            .join(p, li.l_partkey == p.p_partkey)
             .select(
                 "l_orderkey",
+                "l_partkey",
                 "o_custkey",
                 "o_orderdate",
                 "l_shipdate",
                 "l_quantity",
                 "rev_e6",
                 "c_mktsegment",
+                "p_type",
             )
             .write.mode("overwrite")
             .bucketBy(_ORDERLINE_BUCKETS, "l_orderkey")
@@ -459,18 +476,38 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension key the join family didn't yet cover) with a conditional
     aggregate on top. Share is exact e4 fixed-point integer division;
     part is dimension-sized, so AQE broadcasts it under the fact
-    scan's month grouping."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
-        F.expr(_REV_E6).alias("rev"),
-    )
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
-    )
+    scan's month grouping in the fallback path.
+
+    Layout path (r13): the v4 wide view carries p_type, so the join
+    vanishes — the run is one join-free scan-project-agg stage. At
+    the 10x fixture the fallback's broadcast build alone (2M part
+    rows collected and hash-built on the driver, per run) cost ~5s of
+    an 8s query; DuckDB's parallel shared-hash build did the same in
+    ~1s, and no plan tweak beats simply not paying it per-run."""
+    # the group key is NUMERIC (year*100 + month — two cheap field
+    # extractions); the month STRING renders after the aggregate, on
+    # ~84 output rows instead of 60M input rows. date_format's
+    # per-row formatter was the largest single cost left in the
+    # layout path (measured 1.20 -> 0.69 s at the 10x fixture,
+    # value-identical output).
+    mk = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("mk")
+    flat = _orderline_flat_layout(spark, sf_dir)
+    if flat is not None:
+        j = flat.select(
+            mk,
+            F.col("rev_e6").alias("rev"),
+            (F.col("p_type") == "PROMO").alias("is_promo"),
+        )
+    else:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", mk, F.expr(_REV_E6).alias("rev")
+        )
+        p = _t(spark, sf_dir, "part").select(
+            "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey)
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy("month")
+        j.groupBy("mk")
         .agg(
             F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(0)).alias(
                 "promo_rev_e6"
@@ -478,12 +515,22 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").alias("total_rev_e6"),
         )
         .select(
-            "month",
+            F.expr(
+                "concat(CAST(mk DIV 100 AS STRING), '-',"
+                " lpad(CAST(mk % 100 AS STRING), 2, '0'))"
+            ).alias("month"),
             "promo_rev_e6",
             "total_rev_e6",
-            F.expr("(promo_rev_e6 * 10000) DIV total_rev_e6")
-            .cast("bigint")
-            .alias("promo_share_e4"),
+            # the share multiply is promoted to decimal(38): monthly
+            # e6-revenue at the 10x fixture is ~1.5e17, so the old
+            # bigint promo_rev_e6 * 10000 overflowed int64 (found as a
+            # live ARITHMETIC_OVERFLOW at sf10, r13). DIV on a decimal
+            # operand still returns BIGINT and floor-matches DuckDB's
+            # HUGEINT // (verified both = 2506 on 1.5e17/6.1e17).
+            F.expr(
+                "CAST((CAST(promo_rev_e6 AS DECIMAL(38,0)) * 10000)"
+                " DIV total_rev_e6 AS BIGINT)"
+            ).alias("promo_share_e4"),
         )
     )
 
@@ -503,7 +550,7 @@ ORACLES["tpch_q14_promo_share"] = f"""
         FROM j GROUP BY month
     )
     SELECT month, promo_rev_e6, total_rev_e6,
-           CAST((promo_rev_e6 * 10000) // total_rev_e6 AS BIGINT)
+           CAST((CAST(promo_rev_e6 AS HUGEINT) * 10000) // total_rev_e6 AS BIGINT)
                AS promo_share_e4
     FROM g
 """
