@@ -2014,13 +2014,16 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 fixed point — every column an exact BIGINT, every sum map-side
     combinable (the textbook distributed-moments shape: partial power
     sums merge associatively, unlike a naive two-pass mean/deviation
-    plan). var_e2 = ((n·Σx² − (Σx)²) · 100) DIV n² stays inside int64
-    up to n ≈ 2e6 per group at these magnitudes (DuckDB's HUGEINT
-    intermediates make its side exact regardless, and the result
-    columns are cast to BIGINT per the fetch-stability rule). The
-    bound is ASSERTED at runtime (r7 advice): a group large enough to
-    overflow the n·Σx² intermediate raises loudly instead of silently
-    diverging from the oracle on a wrapped value."""
+    plan). var_e2 = ((n·Σx² − (Σx)²) · 100) DIV n² runs in
+    DECIMAL(38,0) intermediates (r13 — the old bigint form's guard
+    fired as a live failure at the 10x fixture, n ≈ 24M per group),
+    mirroring DuckDB's HUGEINT sum() intermediates; both floor-divide
+    to the same BIGINT (verified 190045 on sf10 magnitudes). The
+    result columns stay BIGINT per the fetch-stability rule. A
+    runtime guard still asserts the decimal38 headroom (r7 advice):
+    a group large enough to overflow even the ×100 decimal
+    intermediate (~1e36, n ≈ 1e15 at these magnitudes) raises loudly
+    instead of relying on engine-specific overflow behavior."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
     )
@@ -2036,8 +2039,8 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL on success
     guard = (
         "assert_true(greatest(1.0 * n * sum_x2, 1.0 * sum_x * sum_x) * 100"
-        " < 9.0e18, 'agg_stats_moments: var_e2 int64 overflow — group too"
-        " large for exact e2 variance; use a DOUBLE/decimal variant')"
+        " < 9.0e36, 'agg_stats_moments: var_e2 decimal38 overflow — group"
+        " too large even for decimal intermediates')"
     )
     return agg.where(F.expr(guard).isNull()).select(
         "l_returnflag",
@@ -2045,9 +2048,11 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_x",
         "sum_x2",
         "sum_x3",
-        F.expr("((n * sum_x2 - sum_x * sum_x) * 100) DIV (n * n)").alias(
-            "var_e2"
-        ),
+        F.expr(
+            "CAST(((CAST(n AS DECIMAL(38,0)) * sum_x2"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 100)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_e2"),
     )
 
 
