@@ -26,6 +26,16 @@ evidence behind each rule):
    (column alias suffix ``_e4`` marks the 1e4 scale).
 4. Alias every computed column identically in the DataFrame code and
    the oracle SQL — the driver sorts columns by name before hashing.
+5. Any fixed-point product whose multiplicand is an UNBOUNDED SUM
+   (revenue totals, cumulative sums, n*sum_x2 moments) must run in
+   DECIMAL(38,0) on the Spark side and HUGEINT in the oracle —
+   ``CAST((CAST(big AS DECIMAL(38,0)) * 10000) DIV total AS BIGINT)``
+   vs ``CAST((CAST(big AS HUGEINT) * 10000) // total AS BIGINT)`` —
+   floor-division agrees and the emitted column stays BIGINT. Plain
+   bigint * 1e4 overflows int64 once the sum passes ~9.2e14 (r13:
+   q14 crashed live at the 10x fixture; pareto and the moments guard
+   were the same class). Per-group bounded sums (counts, per-doc
+   bits) keep plain bigint.
 """
 
 from __future__ import annotations
