@@ -34,6 +34,12 @@ def _build_ngram(spark):
     llm._ngram_pair_graph(spark, SF).count()
 
 
+def _build_truthpairs(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import llm
+
+    llm._truth_pairs_layout(spark, SF).count()
+
+
 def _build_tradegraph(spark):
     from pyspark.sql import functions as F
 
@@ -74,6 +80,13 @@ CASES = [
         "_EDGE_LAYOUT_DERIVATION_V",
         "tradegraph*_edges_*",
         _build_tradegraph,
+    ),
+    (
+        "truthpairs",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.llm",
+        "_TRUTH_PAIRS_LAYOUT_V",
+        "truthpairs_pairs_*",
+        _build_truthpairs,
     ),
 ]
 
