@@ -41,22 +41,27 @@ def _build_truthpairs(spark):
 
 
 def _build_tradegraph(spark):
-    from pyspark.sql import functions as F
-
+    # build via the REAL consumer so the layout content matches what
+    # production writes under this key: the layout is keyed by
+    # (fixture fingerprints, derivation version) and trusts the
+    # caller's edge frame — an earlier version of this helper wrote a
+    # DIRECTED edge set under the real key and silently poisoned
+    # graph_pagerank's symmetric validation in a different test file
+    # (exactly the stale-layout class this test exists to catch)
     from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import relational
-    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
 
-    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + relational.SUPP_NODE_OFFSET).alias("dst"),
-        )
-        .distinct()
-    )
-    assert relational._tradegraph_edge_layout(spark, SF, edges) is not None
+    # the tiny fixture takes the driver-local budget tier, which
+    # never touches the layout — force the distributed path (the
+    # layout's only producer) for the build
+    prior = os.environ.get("SMRGH_FORCE_DISTRIBUTED")
+    os.environ["SMRGH_FORCE_DISTRIBUTED"] = "1"
+    try:
+        relational.QUERIES["graph_pagerank"](spark, SF).count()
+    finally:
+        if prior is None:
+            os.environ.pop("SMRGH_FORCE_DISTRIBUTED", None)
+        else:
+            os.environ["SMRGH_FORCE_DISTRIBUTED"] = prior
 
 
 CASES = [
