@@ -178,6 +178,12 @@ def run_inventory(
     # outside the process
     markers = os.environ.get("SPARK_GRAFT_MARKERS") == "1"
     for name, fn in queries.items():
+        # Extra passes skip names that already errored in pass 1: a
+        # late success would otherwise enter the headline from a single
+        # UNWARMED run while still listed in errors (r13 advisory) —
+        # the error ledger and the headline must describe the same set.
+        if not record_points and name in errors:
+            continue
         # Per-query fault isolation (round-5 fix): one broken query
         # must never zero the whole bench artifact — record the error
         # and keep timing the rest.
@@ -206,7 +212,15 @@ def run_inventory(
                     print(f"STOP {name}", flush=True)
                 best = min(best, t["sec"])
         except Exception as exc:  # noqa: BLE001 — isolation is the point
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            if record_points:
+                errors[name] = msg
+            else:
+                # a name green in pass 1 that fails a later pass keeps
+                # its pass-1 timing in the headline; disclose the flake
+                # under a distinct key instead of overwriting the
+                # per-query ledger (r13 advisory)
+                errors.setdefault(f"{name} (extra-pass flake)", msg)
             spark.catalog.clearCache()
             continue
         timings[name] = round(best, 4)
@@ -230,7 +244,11 @@ def run_inventory(
                 metric=metric, value=value,
             )
 
-        # points.txt records the same min-of-2 estimate the JSON reports
+        # points.txt records pass-1's min-of-2; the JSON headline is
+        # the tighter union-min across all bench_passes, so the two
+        # artifacts may disagree per query (JSON <= points.txt). The
+        # JSON carries the authoritative statistic; points.txt keeps
+        # the reference Metric() protocol's one-clean-window shape.
         rec(METRIC_TIME_MS, round(best * 1000, 3))
         rec(METRIC_CPU_UTIL_PCT, round(cpu.util_since_snapshot(), 2))
         rec(METRIC_HOST_MEM_MB, cpu.mem_used_mb())
@@ -442,9 +460,16 @@ def main() -> None:
         "metric": "bench_total_wall",
         # headline = sum of per-query min across passes (the quiet-
         # window floor statistic); pass_totals carries each raw pass
-        # so a genuine regression still surfaces as a shifted floor
+        # so a genuine regression still surfaces as a shifted floor.
+        # "semantics" discloses this in the artifact itself so
+        # consumers don't compare the union-min floor 1:1 against
+        # pre-r13 single-pass headlines (r13 advisory).
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "semantics": (
+            "union-min floor: per-query min across bench_passes; no "
+            "single pass achieved this total (see pass_totals)"
+        ),
         "bench_passes": n_passes,
         "pass_totals": pass_totals,
         "queries": timings,

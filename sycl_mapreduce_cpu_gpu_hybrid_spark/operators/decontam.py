@@ -107,22 +107,33 @@ def contamination_hits(
         # broadcast the 16-byte md5 digest, not the raw gram text: the
         # build relation is what sits in EVERY executor's memory, and
         # at the n=13 default a raw gram is ~100 bytes — a benchmark
-        # that fits as digests (16 bytes/gram) can exceed the
-        # broadcast/driver ceiling 6x sooner as text (r12 advisory).
-        # The probe side stays raw: md5 evaluates inside the join-key
-        # expression (BroadcastHashJoin key extraction), so corpus
-        # grams get no extra projection, shuffle, or materialization.
-        bench_keys = bench_grams.select(F.md5("gram").alias("gram_key"))
+        # that fits as digests can exceed the broadcast/driver ceiling
+        # ~6x sooner as text (r12 advisory). unhex(md5(..)) keys the
+        # join on the RAW 16-byte digest, not md5's 32-char hex string
+        # (r13 advisory: hex would halve the claimed saving). The
+        # digest key admits a theoretical 2^-128 collision false
+        # positive the raw-gram join did not — accepted: decontam is a
+        # conservative FILTER, and a collision only removes one extra
+        # doc. The probe side stays raw: the digest evaluates inside
+        # the join-key expression (BroadcastHashJoin key extraction),
+        # so corpus grams get no extra projection, shuffle, or
+        # materialization.
+        bench_keys = bench_grams.select(
+            F.unhex(F.md5("gram")).alias("gram_key")
+        )
         joined = corpus_grams.join(
             F.broadcast(bench_keys),
-            F.md5(corpus_grams["gram"]) == bench_keys["gram_key"],
+            F.unhex(F.md5(corpus_grams["gram"])) == bench_keys["gram_key"],
         )
     else:
-        # shuffle join fallback: key on the fixed-width md5 so shuffle
-        # volume is 16 bytes per (doc, gram), never the gram text
+        # shuffle join fallback: key on the fixed-width 16-byte digest
+        # so shuffle volume is 16 bytes per (doc, gram), never the text
         joined = corpus_grams.select(
-            id_col, F.md5("gram").alias("gram_key")
-        ).join(bench_grams.select(F.md5("gram").alias("gram_key")), "gram_key")
+            id_col, F.unhex(F.md5("gram")).alias("gram_key")
+        ).join(
+            bench_grams.select(F.unhex(F.md5("gram")).alias("gram_key")),
+            "gram_key",
+        )
     return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 

@@ -54,63 +54,12 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # --- r13 rotation (r12 verdict task 3): replaying
-    # CORRECTNESS_r01-r12, the 26 names below have latest green
-    # evidence from r10 (two rounds stale) and come first; the 50
-    # r11-latest names follow. A 50-name gate sample covers all 26
-    # plus the oldest 24 of the r11 cohort; after r13 no name's
-    # latest green should predate r11.
-    "join_bucketed_colocated",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_left_count",
-    "join_multi_broadcast",
-    "join_partition_pruned",
-    "join_range_band",
-    "join_scalar_subquery",
-    "join_semi",
-    "multimodal_audio_stats",
-    "multimodal_decode_resize",
-    "multimodal_frame_sample",
-    "orders_rfm",
-    "relational_unpivot",
-    "setop_pack",
-    "skew_salted_agg",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "text_repetition",
-    "udtf_top_words",
-    "window_frames_pack",
-    "window_latest_order",
-    "window_rank_parts",
-    # r11 cohort:
-    "agg_approx_distinct",
-    "agg_count_distinct",
-    "agg_median",
-    "agg_median_approx",
-    "agg_pricing_summary",
-    "agg_quantile_bands",
-    "agg_stats_moments",
-    "array_pack",
-    "basket_pairs",
-    "corpus_split",
-    "date_map_pack",
-    "dedup_embedding_pairs",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_portable",
-    "dedup_simhash_pairs",
-    "embedding_kmeans",
-    "events_json_extract",
-    "events_sessionization",
-    "events_time_agg",
-    "filter_project_cast",
-    "graph_pagerank",
-    "graph_pagerank_directed",
-    "kmer_count_k4",
+    # --- r14 rotation (r13 verdict task 4): replaying
+    # CORRECTNESS_r01-r13, the 26 names below have latest green
+    # evidence from r11 (two rounds stale) and come first; the 50
+    # r12-latest names follow. A 50-name gate sample covers all 26
+    # plus the oldest 24 of the r12 cohort; after r14 no name's
+    # latest green should predate r12.
     "kmer_count_k8_all",
     "kmer_total_k5",
     "math_pack",
@@ -137,6 +86,57 @@ _GATE_PRIORITY = [
     "topk_orders",
     "udf_kernel_pack",
     "udtf_top_words_arrow",
+    # r12 cohort (oldest-first coverage for the sample tail):
+    "agg_grouping_sets",
+    "agg_mode_pack",
+    "agg_pivot",
+    "agg_rollup_cube",
+    "asof_last_purchase",
+    "corpus_curate",
+    "corpus_decontaminate",
+    "corpus_mix_schedule",
+    "corpus_pack_tokens",
+    "corpus_sample_stratified",
+    "corpus_temperature_weights",
+    "dedup_clusters",
+    "dedup_editdistance_verify",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dq_audit",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_cohort_retention",
+    "events_concurrency",
+    "events_funnel",
+    "events_gapfill",
+    "events_histogram",
+    "events_rolling_7d",
+    "events_rolling_distinct",
+    "events_top_paths",
+    "events_transition_matrix",
+    "events_zorder_key",
+    "graph_triangles",
+    "join_anti",
+    "join_exists_correlated",
+    "join_point_in_time",
+    "join_runtime_filtered",
+    "merge_upsert",
+    "orders_yoy_growth",
+    "pareto_revenue",
+    "scd2_order_priority",
+    "stream_cdc_upsert",
+    "text_bigram_lm",
+    "text_chunk_sliding",
+    "text_inverted_index",
+    "text_unigram_surprise",
+    "tpch_q14_promo_share",
+    "tpch_q18_volume_customers",
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast_revenue",
+    "window_distribution_pack",
 ]
 
 

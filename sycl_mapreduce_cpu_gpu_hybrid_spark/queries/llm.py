@@ -99,7 +99,11 @@ def _truth_pairs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from ..sources.tables import fingerprint_cache_dir, prune_layout_variants
+    from ..sources.tables import (
+        fingerprint_cache_dir,
+        prune_layout_variants,
+        publish_layout_atomic,
+    )
 
     build = lambda: ngram_jaccard_pairs(  # noqa: E731
         _truth_sample(_docs(spark, sf_dir)),
@@ -121,7 +125,9 @@ def _truth_pairs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         prune_layout_variants(path, "truthpairs", "pairs")
-        build().write.mode("overwrite").parquet(path)
+        publish_layout_atomic(
+            lambda tmp: build().write.mode("overwrite").parquet(tmp), path
+        )
     return spark.read.parquet(path)
 
 
@@ -213,7 +219,11 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from ..sources.tables import fingerprint_cache_dir, prune_layout_variants
+    from ..sources.tables import (
+        fingerprint_cache_dir,
+        prune_layout_variants,
+        publish_layout_atomic,
+    )
 
     build = lambda: ngram_jaccard_pair_graph(  # noqa: E731
         _docs(spark, sf_dir), k=6, threshold=0.6
@@ -229,7 +239,9 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         prune_layout_variants(path, "ngramgraph", "pairs")
-        build().write.mode("overwrite").parquet(path)
+        publish_layout_atomic(
+            lambda tmp: build().write.mode("overwrite").parquet(tmp), path
+        )
     return spark.read.parquet(path)
 
 

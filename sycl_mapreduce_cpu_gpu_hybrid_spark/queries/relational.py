@@ -1518,7 +1518,11 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
     import hashlib
     import tempfile
 
-    from ..sources.tables import fingerprint_cache_dir, prune_layout_variants
+    from ..sources.tables import (
+        fingerprint_cache_dir,
+        prune_layout_variants,
+        publish_layout_atomic,
+    )
 
     try:
         ka = fingerprint_cache_dir(sf_dir, "tg", "orders")
@@ -1537,7 +1541,9 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         prune_layout_variants(path, "tradegraph", "edges")
-        edges.write.mode("overwrite").parquet(path)
+        publish_layout_atomic(
+            lambda tmp: edges.write.mode("overwrite").parquet(tmp), path
+        )
     return spark.read.parquet(path)
 
 

@@ -112,7 +112,7 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
         )
         c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-        (
+        flat = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
             # part unhinted: dimension-sized here, shuffle-joined by
@@ -131,19 +131,54 @@ def _orderline_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame | None
                 "c_mktsegment",
                 "p_type",
             )
-            .write.mode("overwrite")
-            .bucketBy(_ORDERLINE_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(tbl)
         )
-    elif not spark.catalog.tableExists(tbl):
-        # files were written by an earlier process (same /tmp
-        # lifetime) but the in-memory catalog forgot the table:
-        # re-register the external bucketed table over them — the
+        # Publish race-safely (r13 advisory): write the bucketed table
+        # under a temp path + temp name, detach the catalog entry
+        # (external table — DROP keeps the files), then one atomic
+        # rename into place; a concurrent builder's copy is identical.
+        from ..sources.tables import publish_layout_atomic
+
+        tmp_tbl = f"{tbl}_build{os.getpid()}"
+
+        def _write(tmp_path: str) -> None:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            (
+                flat.write.mode("overwrite")
+                .bucketBy(_ORDERLINE_BUCKETS, "l_orderkey")
+                .sortBy("l_orderkey")
+                .option("path", tmp_path)
+                .format("parquet")
+                .saveAsTable(tmp_tbl)
+            )
+            # FK-integrity guard (r13 advisory): consumers aggregate
+            # over this INNER-joined view assuming it is row-for-row
+            # lineitem (TPC-H referential integrity: every l_orderkey
+            # has its order, every l_partkey its part). A fixture
+            # violating that would silently diverge from oracles that
+            # join lineitem->part only (q14) — fail the BUILD loudly
+            # instead. Both counts are metadata-cheap (parquet
+            # footers).
+            from ..plans.budget import table_rows
+
+            built = spark.table(tmp_tbl).count()
+            expect = table_rows(
+                sf_dir, "lineitem", _t(spark, sf_dir, "lineitem")
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            if built != expect:
+                raise AssertionError(
+                    f"orderline flat layout dropped rows: built {built}"
+                    f" != lineitem {expect} — the fixture violates the"
+                    f" orders/part FK integrity this denormalized view"
+                    f" assumes (see _orderline_flat_layout docstring)"
+                )
+
+        publish_layout_atomic(_write, path)
+    if not spark.catalog.tableExists(tbl):
+        # single registration path: the build above publishes FILES
+        # only; register the external bucketed table over them — the
         # bucket ids ride in the part-file names, so the spec stays
-        # valid across sessions
+        # valid across sessions and processes
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in spark.read.parquet(path).schema.fields

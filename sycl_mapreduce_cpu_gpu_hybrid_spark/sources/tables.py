@@ -219,6 +219,36 @@ def fingerprint_cache_dir(sf_dir: str, kind: str, table: str) -> str:
     )
 
 
+def publish_layout_atomic(write_fn, path: str) -> None:
+    """Race-safe publication for the write-once layouts (r13
+    advisory): the bare check-then-write on _SUCCESS admits two
+    concurrent sessions (bench + parity on the same fixture) both
+    running mode('overwrite') into the SAME directory, or one reading
+    a half-overwritten tree. ``write_fn(tmp_path)`` writes the layout
+    into a pid-suffixed temp sibling; the publish is one atomic
+    ``os.rename`` (same filesystem — both live under the
+    smrgh_roundtrip root). If a concurrent publisher won the rename,
+    the loser discards its copy and the caller reads the winner's —
+    the builds are deterministic per fixture fingerprint, so either
+    copy is correct. Temp dirs never match prune_layout_variants'
+    name pattern, so GC cannot delete an in-flight build."""
+    import shutil
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_fn(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+
+
 def prune_layout_variants(current: str, kind_family: str, table: str) -> None:
     """Best-effort GC of superseded roundtrip layouts (r9 advice):
     kinds that embed a parallelism suffix (``csv8`` vs ``csv32``) or a
