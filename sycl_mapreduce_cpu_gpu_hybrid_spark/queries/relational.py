@@ -1675,31 +1675,118 @@ ORACLES["agg_grouping_sets"] = """
 """
 
 
+PARETO_LOCAL_MAX = 1_000_000  # part-dimension ceiling for the single-
+# task global cumulative window; above it (or under the forced-
+# distributed switch) the two-phase distributed prefix sum runs
+
+
+def _running_sum_distributed(
+    df: DataFrame,
+    val: str,
+    sort_cols: list,
+    out: str,
+    total_out: str | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``val`` in ``sort_cols`` order
+    WITHOUT a single-task sort — the classic two-phase distributed
+    prefix sum (the _ntile_distributed sibling, r14): rows
+    range-partition on the sort key (a total order — callers include
+    a unique tiebreak column), accumulate locally per range, and each
+    range adds the broadcast sum of all lower ranges. Every stage is
+    parallel and dimension-bounded — the shape that survives a 1e8-
+    part dimension where `Window.orderBy` with no partitionBy
+    serializes the whole frame into one task. The per-range window
+    re-exchanges on the partition id (hash) after the range exchange;
+    the per-range totals reuse that same hash exchange
+    (ReusedExchange), so the frame crosses the wire twice total, both
+    times at dimension grain."""
+    sess = df.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_part, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged.withColumn("_ls", F.sum(val).over(w_loc))
+    rng_tot = loc.groupBy("_pid").agg(F.sum(val).alias("_ps"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_ps").over(w_off), F.lit(0)).alias("_off"),
+    ]
+    if total_out is not None:
+        # grand total from the bounded per-range totals — callers get
+        # it for free off the same broadcast instead of aggregating a
+        # second consumer of ``df`` (which would replay its lineage)
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_ps").over(w_all).alias(total_out))
+    off = rng_tot.select(*off_cols)
+    return (
+        loc.join(F.broadcast(off), "_pid")
+        .withColumn(out, (F.col("_ls") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_ls", "_off")
+    )
+
+
 def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC analysis: parts ranked by exact revenue cents with
     cumulative share (fixed-point e4) and an ABC class at the 80/95
     cut — the concentration-curve primitive behind "which 20% of SKUs
     carry 80% of revenue". The fact scan aggregates to part grain
-    first (keyed shuffle); the cumulative window then sorts only the
+    first (keyed shuffle); the cumulative sum then runs only over the
     dimension-sized aggregate, same scale posture as orders_rfm's
     ntile. Ordering ties break on p_key so the running sum is
-    deterministic."""
+    deterministic.
+
+    Scale tiers (r14, shared budget gate — plans/budget.py): up to
+    PARETO_LOCAL_MAX parts (metadata bound: the part table's parquet
+    footer) the cumulative sum runs as one global window — a
+    dimension-sized single task, fastest at small dimensions. Above
+    the ceiling, or under SMRGH_FORCE_DISTRIBUTED, the two-phase
+    distributed prefix sum (_running_sum_distributed) runs instead —
+    no single-task WindowExec anywhere in the plan (plan-pinned in
+    tests/test_plans.py). total_cents comes from the tiny per-range
+    totals, never a second pass over the fact scan."""
+    from ..plans.budget import table_rows, within_budget
+
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    total = per_part.agg(F.sum("cents").alias("total_cents"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("p_key")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_part.join(F.broadcast(total)).select(
-        "p_key",
-        "cents",
-        F.sum("cents").over(w).alias("cum_cents"),
-        "total_cents",
-    )
+    sort_cols = [F.col("cents").desc(), F.col("p_key")]
+    try:
+        part_bound = table_rows(sf_dir, "part")
+    except FileNotFoundError:
+        part_bound = None  # view-backed test dir: take the scale tier
+    if within_budget(part_bound, PARETO_LOCAL_MAX):
+        total = per_part.agg(F.sum("cents").alias("total_cents"))
+        w = Window.orderBy(*sort_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = per_part.join(F.broadcast(total)).select(
+            "p_key",
+            "cents",
+            F.sum("cents").over(w).alias("cum_cents"),
+            "total_cents",
+        )
+    else:
+        # total_cents rides the same per-range-totals broadcast as the
+        # prefix offsets — never a second aggregate branch over
+        # per_part, which would replay the lineitem groupBy (the
+        # repo's recurring multi-consumer recompute class)
+        ranked = _running_sum_distributed(
+            per_part, "cents", sort_cols, "cum_cents",
+            total_out="total_cents",
+        )
     return ranked.select(
         "p_key",
         "cents",

@@ -240,3 +240,20 @@ def test_ngram_dense_tier_matches_distributed(spark, forced, monkeypatch):
     monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
     local = _rows(ngram_jaccard_pairs(docs, **kw))
     assert dist == local and len(dist) > 0
+
+
+def test_pareto_prefix_sum_tiers_bit_identical(spark, forced, monkeypatch):
+    """pareto_revenue under the switch: the global cumulative window
+    is disabled and the running sum goes through the two-phase
+    distributed prefix sum (_running_sum_distributed: range partition
+    + per-range local sum + broadcast offsets, total off the same
+    broadcast) — full rows incl. cum_share_e4 and abc_class must be
+    bit-identical to the window tier."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational import (
+        pareto_revenue,
+    )
+
+    dist = _rows(pareto_revenue(spark, SF))
+    monkeypatch.delenv(budget.FORCE_DISTRIBUTED_ENV)
+    local = _rows(pareto_revenue(spark, SF))
+    assert dist == local and len(dist) > 0

@@ -253,3 +253,21 @@ def test_q18_aggregates_on_bucket_clustering(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan, plan
     assert "orderline_flat" in plan, plan
+
+
+def test_pareto_distributed_tier_two_phase_prefix_sum(spark, sf_dir, monkeypatch):
+    # Above PARETO_LOCAL_MAX parts (or under the forced-distributed
+    # switch) pareto_revenue must run the two-phase prefix sum: the
+    # full part-grain frame range-partitions and its running sum
+    # windows PARTITION BY the range id — never an unpartitioned
+    # WindowExec over the whole dimension (the r13 verdict's
+    # single-task-sort flag). The only SinglePartition work left is
+    # the per-range offsets frame, bounded at shuffle-partition count
+    # (32 rows), one Exchange.
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.plans import budget
+
+    monkeypatch.setenv(budget.FORCE_DISTRIBUTED_ENV, "1")
+    plan = _plan(spark, sf_dir, "pareto_revenue")
+    assert "_pid" in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
