@@ -157,6 +157,7 @@ def pagerank_fixedpoint(
     edge_count_bound: int | None = None,
     symmetric: bool = False,
     dangling: str = "none",
+    node_deg: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over DIRECTED ``edges(src, dst)`` (undirected graphs:
     pass the union of both directions). Returns (node_id, rank_e12)
@@ -196,7 +197,18 @@ def pagerank_fixedpoint(
     the general path. Caller-asserted; set ``SMRGH_VERIFY_SYMMETRIC=1``
     (CI does) for a bounded anti-join probe that raises on a directed
     input instead of silently dropping dst-only nodes. The r10
-    trade-graph caller explodes both directions by construction."""
+    trade-graph caller explodes both directions by construction.
+
+    ``node_deg``: optional caller-supplied ``(node_id, deg)`` frame —
+    e.g. a write-once node layout derived from the same edge relation
+    (queries/relational._tradegraph_node_layout). When given, the
+    |E|-row node/degree aggregation is skipped entirely and only the
+    |V|-row frame repartitions+checkpoints (measured: the aggregation
+    was a full extra pass over the 117M-row sf10 edge relation per
+    declaration). CONTRACT: must hold exactly the node universe and
+    out-degrees of ``edges`` under the declared ``symmetric``
+    semantics — derive it from the same materialized relation, never
+    hand-build it (the r13 layout-lifecycle lesson)."""
     from ..plans.budget import within_budget
 
     if within_budget(edge_count_bound, local_max_edges):
@@ -238,7 +250,12 @@ def pagerank_fixedpoint(
     # coalesced to a different count), so BOTH per-round joins are
     # exchange-free: ranks flows out of the nd-side of the carry join
     # still clustered on node_id, matching ed's src clustering.
-    if symmetric:
+    if node_deg is not None:
+        # caller-supplied node/degree frame (see docstring contract):
+        # |V|-row repartition+checkpoint only, no |E|-row aggregation;
+        # the node_id clustering keeps the carry join exchange-free
+        nd = node_deg.repartition(n_part, "node_id").localCheckpoint()
+    elif symmetric:
         # src-count == degree and srcs == the node universe; ed is
         # already hash-partitioned on src, so this aggregation inserts
         # no exchange and its output inherits the clustering
@@ -247,6 +264,18 @@ def pagerank_fixedpoint(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .localCheckpoint()
         )
+    else:
+        nd = (
+            ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))
+            .unionAll(
+                ed.select(F.col("dst").alias("node_id"), F.lit(0).alias("is_out"))
+            )
+            .groupBy("node_id")
+            .agg(F.sum("is_out").cast("bigint").alias("deg"))
+            .repartition(n_part, "node_id")
+            .localCheckpoint()
+        )
+    if symmetric:
         import os
 
         if os.environ.get("SMRGH_VERIFY_SYMMETRIC"):
@@ -268,17 +297,6 @@ def pagerank_fixedpoint(
                     "edge set: some dst never occurs as a src. Pass both "
                     "directions of every edge, or symmetric=False."
                 )
-    else:
-        nd = (
-            ed.select(F.col("src").alias("node_id"), F.lit(1).alias("is_out"))
-            .unionAll(
-                ed.select(F.col("dst").alias("node_id"), F.lit(0).alias("is_out"))
-            )
-            .groupBy("node_id")
-            .agg(F.sum("is_out").cast("bigint").alias("deg"))
-            .repartition(n_part, "node_id")
-            .localCheckpoint()
-        )
     ranks = nd.select(
         "node_id", "deg", F.lit(RANK_SCALE).cast("bigint").alias("rank")
     )
@@ -300,10 +318,25 @@ def pagerank_fixedpoint(
         # shuffle_hash on the |V|-row side: co-partitioned build, no
         # sort of the |E| stream, and — unlike broadcast — no driver
         # collect of the rank vector; the ONLY per-round exchange left
-        # is the map-side-combined flow aggregation on dst.
+        # is the map-side-combined flow aggregation on dst. The
+        # per-source share rank DIV deg is projected on the |V|-row
+        # side BEFORE the join (r14): computed per edge row it was |E|
+        # integer divisions per round for values constant per src.
         contrib = (
-            ed.join(cur.hint("shuffle_hash"), F.col("src") == F.col("node_id"))
-            .select("dst", F.expr("rank DIV deg").alias("c"))
+            ed.join(
+                cur.select(
+                    "node_id",
+                    # deg-0 sinks never match the src-keyed join, but
+                    # the hoisted projection evaluates for EVERY node
+                    # — guard the ANSI division they were previously
+                    # shielded from by never appearing as a src
+                    F.expr(
+                        "CASE WHEN deg = 0 THEN 0L ELSE rank DIV deg END"
+                    ).alias("_w"),
+                ).hint("shuffle_hash"),
+                F.col("src") == F.col("node_id"),
+            )
+            .select("dst", F.col("_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("flow"))
         )

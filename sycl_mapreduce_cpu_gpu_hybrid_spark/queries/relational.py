@@ -1419,8 +1419,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     layout = _tradegraph_edge_layout(spark, sf_dir, edges)
+    node_deg = None
     if layout is not None:
         edges = layout
+        node_deg = _tradegraph_node_layout(spark, sf_dir, layout)
     return pagerank_fixedpoint(
         edges,
         iters=_TRADE_PR_ITERS,
@@ -1428,6 +1430,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge_count_bound=bound,
         # the explode above emits both directions of every edge
         symmetric=True,
+        node_deg=node_deg,
     )
 
 
@@ -1495,6 +1498,7 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
             return local
     cs = _trade_pairs(spark, o, li)
     edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    node_deg = None
     if not within_budget(bound if bound > 0 else None, PR_LOCAL_MAX_EDGES):
         # Above the local tier, reuse the SYMMETRIC write-once layout
         # (both directions of every pair): under the _trade_pairs
@@ -1516,12 +1520,30 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout = _tradegraph_edge_layout(spark, sf_dir, sym)
         if layout is not None:
             edges = layout.where(F.col("dst") >= F.lit(SUPP_NODE_OFFSET))
+            nodes = _tradegraph_node_layout(spark, sf_dir, layout)
+            if nodes is not None:
+                # directed out-degrees off the symmetric node layout:
+                # a customer's symmetric degree IS its distinct-
+                # supplier out-degree (all its edges point at
+                # suppliers); suppliers are sinks (deg 0) but stay in
+                # the node universe for the dangling-mass term
+                node_deg = nodes.select(
+                    "node_id",
+                    F.when(
+                        F.col("node_id") < F.lit(SUPP_NODE_OFFSET),
+                        F.col("deg"),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    .alias("deg"),
+                )
     return pagerank_fixedpoint(
         edges,
         iters=_TRADE_PR_ITERS,
         damping_pct=_TRADE_PR_DAMPING_PCT,
         edge_count_bound=bound if bound > 0 else None,
         dangling="redistribute",
+        node_deg=node_deg,
     )
 
 
@@ -1590,6 +1612,58 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
         prune_layout_variants(path, "tradegraph", "edges")
         publish_layout_atomic(
             lambda tmp: edges.write.mode("overwrite").parquet(tmp), path
+        )
+    return spark.read.parquet(path)
+
+
+_NODE_LAYOUT_DERIVATION_V = 1
+
+
+def _tradegraph_node_layout(
+    spark, sf_dir: str, edges_layout: DataFrame
+) -> DataFrame | None:
+    """(node_id, deg) of the SYMMETRIC trade graph, materialized
+    write-once next to the edge layout (r14): the node universe and
+    degrees are fixture properties exactly like the edges, and without
+    this layout every pagerank declaration re-aggregated the 117M-row
+    sf10 edge relation just to rebuild them (a full extra |E| pass per
+    run). Derived FROM the opened edge layout through the same
+    ``groupBy(src).count()`` the symmetric branch of
+    pagerank_fixedpoint runs (the real producer — r13 lifecycle
+    lesson). The directed consumer projects its out-degrees off the
+    same rows: customers keep their symmetric degree (= distinct
+    suppliers), supplier sinks go to 0 (see graph_pagerank_directed).
+    Keyed on BOTH source fingerprints + the edge derivation version +
+    its own; returns None for view-backed dirs."""
+    import hashlib
+    import tempfile
+
+    from ..sources.tables import (
+        fingerprint_cache_dir,
+        prune_layout_variants,
+        publish_layout_atomic,
+    )
+
+    try:
+        ka = fingerprint_cache_dir(sf_dir, "tg", "orders")
+        kb = fingerprint_cache_dir(sf_dir, "tg", "lineitem")
+    except OSError:
+        return None
+    derivation = (
+        f"off={SUPP_NODE_OFFSET};ev={_EDGE_LAYOUT_DERIVATION_V}"
+        f";nv={_NODE_LAYOUT_DERIVATION_V}"
+    )
+    h = hashlib.sha256(f"{ka}|{kb}|{derivation}".encode()).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), "smrgh_roundtrip", f"tradegraph1_nodes_{h}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        prune_layout_variants(path, "tradegraph", "nodes")
+        nd = edges_layout.groupBy(F.col("src").alias("node_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        publish_layout_atomic(
+            lambda tmp: nd.write.mode("overwrite").parquet(tmp), path
         )
     return spark.read.parquet(path)
 
