@@ -3,8 +3,9 @@ version bump must (a) re-derive the layout under a NEW key and (b) GC
 the superseded directory via prune_layout_variants — the r11
 SUPP_NODE_OFFSET near-miss class, where a semantics change without a
 key change would have served stale bytes under a correct-looking
-fixture fingerprint. Parameterized over all three fingerprint-keyed
-layout builders (trade edges, ngram pair graph, orderline flat)."""
+fixture fingerprint. Parameterized over every fingerprint-keyed layout builder
+(trade edges + nodes, ngram pair graph, orderline flat, truth pairs,
+RFM segment boundaries)."""
 
 from __future__ import annotations
 
@@ -38,6 +39,12 @@ def _build_truthpairs(spark):
     from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import llm
 
     llm._truth_pairs_layout(spark, SF).count()
+
+
+def _build_rfm_boundaries(spark):
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
+
+    assert behavioral._rfm_boundary_literals(spark, SF, 5) is not None
 
 
 def _build_tradegraph(spark):
@@ -85,6 +92,22 @@ CASES = [
         "_EDGE_LAYOUT_DERIVATION_V",
         "tradegraph*_edges_*",
         _build_tradegraph,
+    ),
+    (
+        # node layout derives FROM the edge layout through the same
+        # pagerank run; its own version constant must key it
+        "tradegraph-nodes",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.relational",
+        "_NODE_LAYOUT_DERIVATION_V",
+        "tradegraph*_nodes_*",
+        _build_tradegraph,
+    ),
+    (
+        "rfmboundaries",
+        "sycl_mapreduce_cpu_gpu_hybrid_spark.queries.behavioral",
+        "_RFM_BOUNDARY_LAYOUT_V",
+        "rfmboundaries_orders_*",
+        _build_rfm_boundaries,
     ),
     (
         "truthpairs",

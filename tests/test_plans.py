@@ -271,3 +271,71 @@ def test_pareto_distributed_tier_two_phase_prefix_sum(spark, sf_dir, monkeypatch
     assert "_pid" in plan, plan
     assert "hashpartitioning(_pid" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_unpartitioned_windows_are_audited():
+    # Global-window audit (r13 verdict task 2 tail): every
+    # `Window.orderBy(...)` with no partitionBy in the package must be
+    # attributable to a budget-gated tier or a provably bounded frame
+    # — an unaudited new site fails here and must either partition,
+    # gate, or join this list with its boundedness argument.
+    #
+    #   operators/similarity.py  sample_centroids: window sits AFTER
+    #       .limit(n_centroids) — frame bounded by the centroid count
+    #       (contract-bounded collect class).
+    #   queries/relational.py    _running_sum_distributed offsets
+    #       (w_off / w_all): per-range totals frame, bounded at
+    #       spark.sql.shuffle.partitions rows.
+    #   queries/relational.py    pareto_revenue local tier: global
+    #       cumulative window gated by within_budget(part rows,
+    #       PARETO_LOCAL_MAX); the scale tier is the two-phase prefix
+    #       sum (plan-pinned above).
+    #   queries/llm.py           corpus_mix_schedule quota remainder
+    #       rank: frame is one row per LANGUAGE (bounded domain).
+    #   queries/behavioral.py    _ntile_distributed offsets
+    #       (w_off / w_all): per-range counts, bounded at shuffle
+    #       partitions.
+    #   queries/behavioral.py    orders_rfm local tier ntile windows:
+    #       gated by within_budget(customer rows, RFM_NTILE_LOCAL_MAX)
+    #       (and normally short-circuited by the boundary layout).
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sycl_mapreduce_cpu_gpu_hybrid_spark",
+    )
+    allowed = {
+        ("operators/similarity.py", "sample_centroids"),
+        ("queries/relational.py", "_running_sum_distributed"),
+        ("queries/relational.py", "pareto_revenue"),
+        ("queries/llm.py", "corpus_mix_schedule"),
+        ("queries/behavioral.py", "_ntile_distributed"),
+        ("queries/behavioral.py", "orders_rfm"),
+    }
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            src = open(path).read()
+            cur_fn = None
+            for line in src.splitlines():
+                m = re.match(r"\s*def\s+(\w+)", line)
+                if m:
+                    cur_fn = m.group(1)
+                if "Window.orderBy(" in line and "partitionBy" not in line:
+                    # docstrings / comments mentioning the pattern
+                    stripped = line.strip()
+                    if stripped.startswith("#") or stripped.startswith(
+                        ("to ``", '"', "'")
+                    ):
+                        continue
+                    found.add((rel, cur_fn))
+    assert found <= allowed, (
+        f"unaudited unpartitioned Window sites: {found - allowed} — "
+        f"partition them, budget-gate them, or extend this audit with "
+        f"a boundedness argument"
+    )
