@@ -103,6 +103,7 @@ def _truth_pairs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_cache_dir,
         prune_layout_variants,
         publish_layout_atomic,
+        read_layout,
     )
 
     build = lambda: ngram_jaccard_pairs(  # noqa: E731
@@ -128,7 +129,7 @@ def _truth_pairs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_layout_atomic(
             lambda tmp: build().write.mode("overwrite").parquet(tmp), path
         )
-    return spark.read.parquet(path)
+    return read_layout(spark, path)
 
 
 def _pair_recall_cert(
@@ -223,6 +224,7 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_cache_dir,
         prune_layout_variants,
         publish_layout_atomic,
+        read_layout,
     )
 
     build = lambda: ngram_jaccard_pair_graph(  # noqa: E731
@@ -242,7 +244,7 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_layout_atomic(
             lambda tmp: build().write.mode("overwrite").parquet(tmp), path
         )
-    return spark.read.parquet(path)
+    return read_layout(spark, path)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -482,22 +482,7 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. Tighter exact-vs-approx error is separately pytest-bounded
     (tests/test_relational.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    # exact side via the tiered exact quantiles (bit-identical to
-    # F.percentile on either tier — _exact_quantiles_tiered); the
-    # sketch side stays percentile_approx, the at-scale plan under
-    # certificate. Two branches joined on the group-cardinality key
-    # (AQE broadcasts), NOT one combined agg — the same no-Expand
-    # rationale as agg_approx_distinct.
-    exact = _exact_quantiles_tiered(
-        li,
-        _lineitem_rows(li, sf_dir),
-        "l_linestatus",
-        [
-            ("l_quantity", 0.5, "_m"),
-            ("l_extendedprice", 0.25, "_p25"),
-            ("l_extendedprice", 0.75, "_p75"),
-        ],
-    )
+    nrows = _lineitem_rows(li, sf_dir)
     # accuracy 1000 (rank error 1e-3): the KLL-style summary's merge
     # cost scales with the compression threshold — measured 0.79s
     # (acc 2000) -> ~0.55s (acc 1000) on the sketch agg at the derived
@@ -507,13 +492,56 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and measured price error is <= 0.32% vs the 2% tolerance at
     # sf0.01 / sf0.1 / the derived sf1 (6x margin; acc 500 measured up
     # to 0.66% — rejected to keep >= 3x).
-    sk = li.groupBy("l_linestatus").agg(
+    sketch_aggs = [
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias("_ma"),
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(1000)
         ).alias("_pa"),
-    )
-    g = exact.join(sk, "l_linestatus")
+    ]
+    if nrows <= MEDIAN_SMALL_MAX_ROWS:
+        # Small tier (r14, guide §2.4): ONE aggregation computes both
+        # the exact sorted-array quantiles (the same
+        # array_sort(collect_list) + _interp_quantile_sql arithmetic
+        # as _exact_group_quantiles_small — value-identical by
+        # construction) and the sketches, halving the lineitem scans
+        # and dropping the branch join entirely. No Expand risk:
+        # neither aggregate is DISTINCT. Measured 2 scans + join
+        # (4 jobs) -> 1 scan (plan: 2 Exchanges -> 1).
+        arrs = li.groupBy("l_linestatus").agg(
+            F.expr(
+                "array_sort(collect_list(CAST(l_quantity AS DOUBLE)))"
+            ).alias("_aq"),
+            F.expr(
+                "array_sort(collect_list(CAST(l_extendedprice AS DOUBLE)))"
+            ).alias("_ap"),
+            *sketch_aggs,
+        )
+        g = arrs.select(
+            "l_linestatus",
+            F.expr(_interp_quantile_sql("_aq", 0.5)).alias("_m"),
+            F.expr(_interp_quantile_sql("_ap", 0.25)).alias("_p25"),
+            F.expr(_interp_quantile_sql("_ap", 0.75)).alias("_p75"),
+            "_ma",
+            "_pa",
+        )
+    else:
+        # At-scale tier: exact side via the distributed value-counts
+        # quantiles (nothing buffers a group's rows — the only shape
+        # that survives a skewed/huge group at 100 TB); the sketch
+        # side stays its own aggregation, the two branches joined on
+        # the group-cardinality key (AQE broadcasts).
+        exact = _exact_quantiles_tiered(
+            li,
+            nrows,
+            "l_linestatus",
+            [
+                ("l_quantity", 0.5, "_m"),
+                ("l_extendedprice", 0.25, "_p25"),
+                ("l_extendedprice", 0.75, "_p75"),
+            ],
+        )
+        sk = li.groupBy("l_linestatus").agg(*sketch_aggs)
+        g = exact.join(sk, "l_linestatus")
     return g.select(
         "l_linestatus",
         F.round("_m", 4).alias("med_qty"),
@@ -1591,6 +1619,7 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
         fingerprint_cache_dir,
         prune_layout_variants,
         publish_layout_atomic,
+        read_layout,
     )
 
     try:
@@ -1613,7 +1642,7 @@ def _tradegraph_edge_layout(spark, sf_dir: str, edges):
         publish_layout_atomic(
             lambda tmp: edges.write.mode("overwrite").parquet(tmp), path
         )
-    return spark.read.parquet(path)
+    return read_layout(spark, path)
 
 
 _NODE_LAYOUT_DERIVATION_V = 1
@@ -1642,6 +1671,7 @@ def _tradegraph_node_layout(
         fingerprint_cache_dir,
         prune_layout_variants,
         publish_layout_atomic,
+        read_layout,
     )
 
     try:
@@ -1665,7 +1695,7 @@ def _tradegraph_node_layout(
         publish_layout_atomic(
             lambda tmp: nd.write.mode("overwrite").parquet(tmp), path
         )
-    return spark.read.parquet(path)
+    return read_layout(spark, path)
 
 
 def _pagerank_trade_graph_local(

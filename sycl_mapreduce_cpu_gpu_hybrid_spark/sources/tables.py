@@ -219,6 +219,31 @@ def fingerprint_cache_dir(sf_dir: str, kind: str, table: str) -> str:
     )
 
 
+def read_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet`` over a published write-once
+    layout (r14): the read itself is pure declaration, but its
+    schema-resolution/file-listing step launches one small Spark job
+    per call, which (a) costs ~0.3-0.5 s of py4j + scheduling per
+    re-declaration and (b) trips the declared-plan cache's purity
+    guard (queries/__init__._prepared), so every consumer re-paid its
+    WHOLE declaration forever. Layouts are immutable once their
+    ``_SUCCESS`` marker exists, so the lazy frame is memoized with the
+    same session + source-stamp key as :func:`load_table` — a
+    republished layout (new fingerprint dir, or a pruned-and-rebuilt
+    one) changes the stamp and can never be served stale. Every
+    materialization still scans the layout files."""
+    global _TABLE_CACHE
+    import weakref
+
+    if _TABLE_CACHE is None:
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (path, _source_stamp(path))
+    if key not in per_session:
+        per_session[key] = spark.read.parquet(path)
+    return per_session[key]
+
+
 def publish_layout_atomic(write_fn, path: str) -> None:
     """Race-safe publication for the write-once layouts (r13
     advisory): the bare check-then-write on _SUCCESS admits two

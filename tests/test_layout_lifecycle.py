@@ -155,3 +155,30 @@ def test_version_bump_rederives_and_prunes(
     assert final.isdisjoint(bumped), (
         f"{name}: stale bumped layout dir survived the restore"
     )
+
+
+def test_read_layout_memoized_and_stamp_invalidated(spark, tmp_path):
+    """read_layout (r14) returns the SAME lazy frame for an unchanged
+    published layout (so re-declarations stay job-free and the
+    declared-plan cache's purity guard can cache their consumers), and
+    a REPUBLISHED layout (changed bytes/mtime) gets a fresh read —
+    stale frames can never be served across a rebuild."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import read_layout
+
+    path = str(tmp_path / "layout")
+    spark.range(5).withColumn("v", F.col("id") * 2).write.parquet(path)
+    a = read_layout(spark, path)
+    b = read_layout(spark, path)
+    assert a is b  # memo hit: no second read.parquet declaration
+    assert a.count() == 5
+    time.sleep(0.05)  # ensure a distinct mtime_ns on the rewrite
+    spark.range(7).withColumn("v", F.col("id") * 3).write.mode(
+        "overwrite"
+    ).parquet(path)
+    c = read_layout(spark, path)
+    assert c is not a  # stamp change -> fresh frame
+    assert c.count() == 7

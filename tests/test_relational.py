@@ -207,3 +207,21 @@ def test_exact_quantile_tiers_bit_identical(spark, sf_dir):
     s = {r["l_returnflag"]: (r["m"], r["p25"], r["p75"], r["p90"]) for r in small.collect()}
     d = {r["l_returnflag"]: (r["m"], r["p25"], r["p75"], r["p90"]) for r in dist.collect()}
     assert s == d  # exact ==, not approx: bit-identical doubles
+
+
+def test_agg_median_approx_tiers_value_identical(spark, sf_dir, monkeypatch):
+    """The r14 fused small tier of agg_median_approx (ONE aggregation
+    computing sorted-array exact quantiles AND the sketches) must
+    produce the same rows as the at-scale two-branch form (separate
+    exact + sketch aggregations joined on the group key): the exact
+    doubles are the same interpolation arithmetic, and the certificate
+    flags stay 1 on both (the +-1 / 2% tolerances dwarf sketch merge
+    jitter). Pins the tier flip as a pure physical choice."""
+    fused = relational.agg_median_approx(spark, sf_dir)
+    monkeypatch.setattr(relational, "MEDIAN_SMALL_MAX_ROWS", 0)
+    two_branch = relational.agg_median_approx(spark, sf_dir)
+    f = {tuple(r) for r in fused.collect()}
+    t = {tuple(r) for r in two_branch.collect()}
+    assert f == t
+    assert all(r["med_ok"] == 1 and r["p25_ok"] == 1 and r["p75_ok"] == 1
+               for r in fused.collect())
