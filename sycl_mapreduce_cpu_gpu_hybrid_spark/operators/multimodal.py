@@ -87,7 +87,18 @@ def attach_encoded_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     contract of attach_fake_media (h = id%48+1, w = id%64+1); pixel
     (y, x, c) = (id*31 + y*7 + x*3 + c) % 256 — a closed form a SQL
     oracle can replay without any codec, so a hash-gated consumer of
-    this fixture proves the PNG encode->decode round-trip end to end."""
+    this fixture proves the PNG encode->decode round-trip end to end.
+
+    r14 (guide §2.5 input skew / §4): the id projection is fanned out
+    before the encode stage — the parquet scan arrives as ONE split
+    below cluster scale, so the whole per-image encode loop (zlib
+    deflate + scanline assembly, the dominant cost) ran single-task;
+    the exchange moves 8-byte ids only. Deflate level 1: the pixel
+    pattern is high-entropy (compresses poorly at any level), decode
+    output is bit-identical, and the gate hashes decoded PIXELS, not
+    container bytes."""
+    from ..sources.tables import fan_out
+
     out_schema = "media_id bigint, modality string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +111,7 @@ def attach_encoded_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 img = ((i * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
-                payloads.append(encode_png(img))
+                payloads.append(encode_png(img, level=1))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -109,14 +120,17 @@ def attach_encoded_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+    return fan_out(docs.select(id_col)).mapInPandas(gen, schema=out_schema)
 
 
 def attach_encoded_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real-container audio fixture: PCM-16 mono RIFF/WAVE payloads
     (codecs.encode_wav) with n = id%100+20 samples, sample t =
     ((id*7 + t*13) % 2048) - 1024 — again a closed form an oracle can
-    replay codec-free."""
+    replay codec-free. Fanned out like attach_encoded_images (r14):
+    the single-split scan serialized the whole encode loop."""
+    from ..sources.tables import fan_out
+
     out_schema = "media_id bigint, modality string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +150,7 @@ def attach_encoded_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(gen, schema=out_schema)
+    return fan_out(docs.select(id_col)).mapInPandas(gen, schema=out_schema)
 
 
 def audio_stats(df: DataFrame) -> DataFrame:
