@@ -144,13 +144,23 @@ def _pair_recall_cert(
     exactly-defined truth set can. Integer arithmetic only (n_found *
     100 >= floor * n_truth), no float boundary.
 
-    ONE pass over the truth frame: a left join against the deduped
-    candidate set marks hits, and a single aggregate counts total and
-    found together. (The original two-branch form — semi-join count
+    ONE pass over the truth frame: a left join against the candidate
+    set marks hits, and a single aggregate counts total and found
+    together. (The original two-branch form — semi-join count
     crossJoined with a separate total count — evaluated the expensive
     truth lineage TWICE; AQE does not reuse it across the branches.
-    Measured: dedup_simhash_pairs 9.8s -> ~4s at sf0.1.)"""
-    hits = candidates.dropDuplicates(["a", "b"]).withColumn("_hit", F.lit(1))
+    Measured: dedup_simhash_pairs 9.8s -> ~4s at sf0.1.)
+
+    CONTRACT (r14): ``candidates`` must already be DISTINCT on
+    (a, b) — a duplicate pair would multiply its truth row through
+    the left join and corrupt both counts. Every caller ends its
+    pipeline in dropDuplicates/where-on-deduped-pairs (minhash: pairs
+    dedup before signature scoring; simhash: dedup after the hamming
+    filter), so the defensive dropDuplicates this function used to
+    run was a provably redundant exchange + aggregate on every
+    certificate query — removed (guide §2.4: a distinct on data that
+    is already unique)."""
+    hits = candidates.withColumn("_hit", F.lit(1))
     joined = truth.join(hits, ["a", "b"], "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_truth"),

@@ -399,3 +399,28 @@ def test_pair_graph_components_match_full_pairs(dup_heavy):
     full = connected_components(ngram_jaccard_pairs(dup_heavy, **kw))
     graph = connected_components(ngram_jaccard_pair_graph(dup_heavy, **kw))
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, graph.collect()))
+
+
+def test_recall_cert_callers_emit_distinct_pairs(spark, sf_dir):
+    """_pair_recall_cert (queries/llm.py) no longer re-deduplicates its
+    candidate input (r14: the defensive dropDuplicates was a redundant
+    exchange — guide §2.4); its CONTRACT is that callers pass pair
+    sets already distinct on (a, b). Pin that contract for both
+    production callers' candidate pipelines: a duplicate pair would
+    multiply truth rows through the cert's left join and corrupt the
+    recall counts."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for cand in (
+        minhash_lsh_pairs(docs, k=6, num_hashes=64, bands=16, threshold=0.7)
+        .select("a", "b"),
+        simhash_near_pairs(docs, max_hamming=3).select("a", "b"),
+    ):
+        total = cand.count()
+        distinct = cand.distinct().count()
+        assert total == distinct, (total, distinct)
