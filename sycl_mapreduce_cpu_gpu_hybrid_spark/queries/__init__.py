@@ -54,63 +54,13 @@ _MODULES = [kmerq, relational, scalars, llm, extensions, behavioral, tpch]
 # cover these before re-sampling queries already green in prior
 # CORRECTNESS_r*.json rounds. Updated per round from the driver logs.
 _GATE_PRIORITY = [
-    # --- r14 rotation (r13 verdict task 4): replaying
-    # CORRECTNESS_r01-r13, the 26 names below have latest green
-    # evidence from r11 (two rounds stale) and come first; the 50
-    # r12-latest names follow. A 50-name gate sample covers all 26
-    # plus the oldest 24 of the r12 cohort; after r14 no name's
-    # latest green should predate r12.
-    "kmer_count_k8_all",
-    "kmer_total_k5",
-    "math_pack",
-    "multimodal_features",
-    "predicates_case_pack",
-    "similarity_bruteforce_topk",
-    "similarity_ivf_topk",
-    "sort_multikey",
-    "source_binaryfile_roundtrip",
-    "stream_dedup",
-    "stream_parquet_sink",
-    "stream_rate_source",
-    "stream_running_max",
-    "stream_sliding_avg",
-    "stream_tumbling_counts",
-    "string_pack",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_quality",
-    "text_simhash",
-    "text_tfidf_topterms",
-    "text_token_stats",
-    "topk_orders",
-    "udf_kernel_pack",
-    "udtf_top_words_arrow",
-    # r12 cohort (oldest-first coverage for the sample tail):
-    "agg_grouping_sets",
-    "agg_mode_pack",
-    "agg_pivot",
-    "agg_rollup_cube",
-    "asof_last_purchase",
-    "corpus_curate",
-    "corpus_decontaminate",
-    "corpus_mix_schedule",
-    "corpus_pack_tokens",
-    "corpus_sample_stratified",
-    "corpus_temperature_weights",
-    "dedup_clusters",
-    "dedup_editdistance_verify",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dq_audit",
-    "embedding_norm_stats",
-    "embedding_quantize_int8",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_concurrency",
-    "events_funnel",
-    "events_gapfill",
+    # --- r15 rotation (r14 verdict task 6, the standing no-stale-green
+    # invariant): replaying CORRECTNESS_r01-r14, the 26 names below
+    # have latest green evidence from r12 (two rounds stale after the
+    # r13/r14 samples rotated past them) and come first; the 50
+    # r13-latest names follow. A 50-name gate sample covers all 26
+    # plus the oldest 24 of the r13 cohort; after r15 no name's
+    # latest green should predate r13.
     "events_histogram",
     "events_rolling_7d",
     "events_rolling_distinct",
@@ -137,6 +87,57 @@ _GATE_PRIORITY = [
     "tpch_q5_region_volume",
     "tpch_q6_forecast_revenue",
     "window_distribution_pack",
+    # r13 cohort (oldest-first coverage for the sample tail):
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_median",
+    "agg_median_approx",
+    "agg_pricing_summary",
+    "agg_quantile_bands",
+    "agg_stats_moments",
+    "array_pack",
+    "basket_pairs",
+    "corpus_split",
+    "date_map_pack",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_portable",
+    "dedup_simhash_pairs",
+    "embedding_kmeans",
+    "events_json_extract",
+    "events_sessionization",
+    "events_time_agg",
+    "filter_project_cast",
+    "graph_pagerank",
+    "graph_pagerank_directed",
+    "join_bucketed_colocated",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_left_count",
+    "join_multi_broadcast",
+    "join_partition_pruned",
+    "join_range_band",
+    "join_scalar_subquery",
+    "join_semi",
+    "kmer_count_k4",
+    "multimodal_audio_stats",
+    "multimodal_decode_resize",
+    "multimodal_frame_sample",
+    "orders_rfm",
+    "relational_unpivot",
+    "setop_pack",
+    "skew_salted_agg",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "text_repetition",
+    "udtf_top_words",
+    "window_frames_pack",
+    "window_latest_order",
+    "window_rank_parts",
 ]
 
 

@@ -144,12 +144,23 @@ def _pair_recall_cert(
     exactly-defined truth set can. Integer arithmetic only (n_found *
     100 >= floor * n_truth), no float boundary.
 
-    ONE pass over the truth frame: a left join against the candidate
-    set marks hits, and a single aggregate counts total and found
-    together. (The original two-branch form — semi-join count
-    crossJoined with a separate total count — evaluated the expensive
-    truth lineage TWICE; AQE does not reuse it across the branches.
-    Measured: dedup_simhash_pairs 9.8s -> ~4s at sf0.1.)
+    Join direction (r15, guide §3.1): the truth set is BOUNDED BY
+    CONSTRUCTION (_TRUTH_SAMPLE_BUDGET docs' near-dup pairs; with the
+    layout it is a tiny parquet scan), while the candidate stream is
+    unbounded (grows with the corpus) — so the candidates
+    broadcast-SEMI-join against truth and are never exchanged or
+    sorted, and n_truth rides a second scan of the bounded frame.
+    The r13 shape (truth LEFT JOIN candidates, one truth pass) dates
+    from when truth was an expensive lazy pipeline; after the r14
+    truth-pair layout that inversion paid an Exchange + sort of the
+    FULL candidate set against a <=budget-bounded build side — at
+    100 TB the heaviest shuffle of the whole certificate. (History:
+    the original two-branch form evaluated the expensive truth
+    lineage twice, the r13 single-pass fixed that — 9.8s -> ~4s at
+    sf0.1 — and the r14 layout then made truth re-scans ~free, which
+    is what makes the broadcast direction strictly better now. For
+    the view-backed fallback the truth lineage is twice-evaluated
+    again, but only on toy test dirs.)
 
     CONTRACT (r14): ``candidates`` must already be DISTINCT on
     (a, b) — a duplicate pair would multiply its truth row through
@@ -159,12 +170,35 @@ def _pair_recall_cert(
     filter), so the defensive dropDuplicates this function used to
     run was a provably redundant exchange + aggregate on every
     certificate query — removed (guide §2.4: a distinct on data that
-    is already unique)."""
-    hits = candidates.withColumn("_hit", F.lit(1))
-    joined = truth.join(hits, ["a", "b"], "left")
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_truth"),
-        (F.count("_hit") * 100 >= F.lit(recall_floor_e2) * F.count(F.lit(1)))
+    is already unique). The contract is pinned for both production
+    callers by tests/test_dedup.py::
+    test_recall_cert_callers_emit_distinct_pairs — EXTEND THAT TEST
+    when adding a caller — and enforced at run time under
+    ``SMRGH_DEBUG_CERT=1`` (r14 advisory guardrail): the debug path
+    counts duplicates per pair inside the certificate's own pass and
+    raise_error()s on the first violation, so a non-distinct caller
+    fails loudly instead of silently corrupting n_truth/recall_ok."""
+    if os.environ.get("SMRGH_DEBUG_CERT") == "1":
+        n_dup = (
+            candidates.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .count()
+        )
+        if n_dup:
+            raise AssertionError(
+                f"_pair_recall_cert: {n_dup} non-distinct candidate"
+                " pair(s) — callers must emit DISTINCT (a, b)"
+            )
+    # both sides distinct on (a, b), so |candidates SEMI truth| ==
+    # |truth ∩ candidates| == the old left-join's count(_hit)
+    total = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    found = candidates.join(F.broadcast(truth), ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_n_found")
+    )
+    return total.crossJoin(found).select(
+        "n_truth",
+        (F.col("_n_found") * 100 >= F.lit(recall_floor_e2) * F.col("n_truth"))
         .cast("int")
         .alias("recall_ok"),
     )

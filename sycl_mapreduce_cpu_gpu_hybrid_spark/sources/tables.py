@@ -84,19 +84,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     declaration overhead for a fixture that never changes mid-run.
     Sessions are held weakly, so ephemeral scoped clones (streaming)
     don't pin their frames."""
+    path = f"{sf_dir}/{name}.parquet"
+    per_session = _cache_for(spark)
+    key = ("table", path, _source_stamp(path))
+    if key in per_session:
+        return per_session[key]
+    df = _load_table_uncached(spark, path)
+    _cache_insert(per_session, key, df)
+    return df
+
+
+def _cache_for(spark: SparkSession) -> dict:
     global _TABLE_CACHE
     import weakref
 
     if _TABLE_CACHE is None:
         _TABLE_CACHE = weakref.WeakKeyDictionary()
-    path = f"{sf_dir}/{name}.parquet"
-    per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (path, _source_stamp(path))
-    if key in per_session:
-        return per_session[key]
-    df = _load_table_uncached(spark, path)
+    return _TABLE_CACHE.setdefault(spark, {})
+
+
+def _cache_insert(per_session: dict, key: tuple, df: DataFrame) -> None:
+    """Insert under a (namespace, path, stamp) key, evicting superseded
+    stamps of the same (namespace, path) — without this, every
+    republished layout/fixture leaks one dead lazy frame into the
+    per-session dict for the session's lifetime (r14 advisory). The
+    namespace tag keeps load_table frames (which carry the
+    nanosAsLong -> timestamp_micros rewrite) from ever being served
+    through read_layout (raw reads) or vice versa."""
+    ns, path, _stamp = key
+    stale = [k for k in per_session if k[0] == ns and k[1] == path and k != key]
+    for k in stale:
+        del per_session[k]
     per_session[key] = df
-    return df
 
 
 def _load_table_uncached(spark: SparkSession, path: str) -> DataFrame:
@@ -231,16 +250,13 @@ def read_layout(spark: SparkSession, path: str) -> DataFrame:
     same session + source-stamp key as :func:`load_table` — a
     republished layout (new fingerprint dir, or a pruned-and-rebuilt
     one) changes the stamp and can never be served stale. Every
-    materialization still scans the layout files."""
-    global _TABLE_CACHE
-    import weakref
-
-    if _TABLE_CACHE is None:
-        _TABLE_CACHE = weakref.WeakKeyDictionary()
-    per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (path, _source_stamp(path))
+    materialization still scans the layout files. Keys are
+    namespaced apart from load_table's (see _cache_insert) and
+    superseded stamps are evicted on insert."""
+    per_session = _cache_for(spark)
+    key = ("layout", path, _source_stamp(path))
     if key not in per_session:
-        per_session[key] = spark.read.parquet(path)
+        _cache_insert(per_session, key, spark.read.parquet(path))
     return per_session[key]
 
 

@@ -44,7 +44,17 @@ def _build_truthpairs(spark):
 def _build_rfm_boundaries(spark):
     from sycl_mapreduce_cpu_gpu_hybrid_spark.queries import behavioral
 
-    assert behavioral._rfm_boundary_literals(spark, SF, 5) is not None
+    # the cut-point layout is opt-in only since r15 (the default
+    # orders_rfm path derives boundaries live, on the clock)
+    prior = os.environ.get("SMRGH_RFM_BOUNDARY_LAYOUT")
+    os.environ["SMRGH_RFM_BOUNDARY_LAYOUT"] = "1"
+    try:
+        assert behavioral._rfm_boundary_literals(spark, SF, 5) is not None
+    finally:
+        if prior is None:
+            os.environ.pop("SMRGH_RFM_BOUNDARY_LAYOUT", None)
+        else:
+            os.environ["SMRGH_RFM_BOUNDARY_LAYOUT"] = prior
 
 
 def _build_tradegraph(spark):
@@ -182,3 +192,14 @@ def test_read_layout_memoized_and_stamp_invalidated(spark, tmp_path):
     c = read_layout(spark, path)
     assert c is not a  # stamp change -> fresh frame
     assert c.count() == 7
+    # r15 (r14 advisory): the superseded stamp must be EVICTED, not
+    # accumulate for the session's lifetime, and layout keys must be
+    # namespaced apart from load_table's (different frame semantics:
+    # raw read vs nanosAsLong rewrite)
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.sources import tables
+
+    entries = [
+        k for k in tables._TABLE_CACHE[spark] if k[1] == path
+    ]
+    assert entries == [entries[0]]  # exactly one stamp survives
+    assert entries[0][0] == "layout"
