@@ -926,6 +926,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 25,
+    n_edges_bound: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assembly: near-dup PAIRS -> connected
     components, labeling every document with the minimum doc id of its
@@ -965,8 +966,21 @@ def connected_components(
     convergence rather than silently returning partial (wrong)
     labels; with O(log n) convergence the default 25 covers any graph
     to ~2^25 vertices, so tripping this means a bug, not a big input.
+
+    ``n_edges_bound``: optional zero-cost UPPER bound on the canonical
+    edge count (e.g. the footer row count of a pair-graph layout —
+    canonicalization and distinct only shrink it). When the bound
+    already exceeds the local-tier cap, the probe is skipped: its
+    limit(cap+1).toPandas() would execute the full edge pipeline once
+    only for the distributed loop's localCheckpoint to pay it again
+    (r15; the double-pay grows with exactly the graphs that overflow
+    the cap). A bound at or under the cap keeps the probe, which then
+    provably answers. Purely a physical-tier choice — tier equality
+    is pinned by tests/test_budget_tiers.py.
     """
-    labels, _ = _connected_components_star(pairs, a_col, b_col, max_iters)
+    labels, _ = _connected_components_star(
+        pairs, a_col, b_col, max_iters, n_edges_bound=n_edges_bound
+    )
     return labels
 
 
@@ -976,6 +990,7 @@ def _connected_components_star(
     b_col: str = "b",
     max_iters: int = 25,
     local_max_edges: int = CC_LOCAL_MAX_EDGES,
+    n_edges_bound: int | None = None,
 ) -> tuple[DataFrame, int]:
     """connected_components body; also returns the round count so the
     O(log n) bound is testable (0 when the bounded local fast path
@@ -992,7 +1007,13 @@ def _connected_components_star(
         .where(F.col("hi") != F.col("lo"))
         .distinct()
     )
-    if local_tier_enabled(local_max_edges):
+    if local_tier_enabled(local_max_edges) and not (
+        # a caller-supplied bound already over the cap proves the
+        # probe would overflow — skip its full pipeline execution
+        # (see connected_components docstring, r15)
+        n_edges_bound is not None
+        and n_edges_bound > local_max_edges
+    ):
         # single-pass bounded probe: limit(ceiling + 1).toPandas()
         # executes the pair pipeline ONCE with no checkpoint write —
         # <= ceiling rows back means the transfer IS the complete edge
@@ -1000,11 +1021,13 @@ def _connected_components_star(
         # graph size). The r11 shape paid checkpoint (pipeline + write)
         # + count + a separate toPandas read for the same answer
         # (dedup_clusters 1.94 -> ~1.3 s at sf0.1). Trade-off: an
-        # over-ceiling graph re-executes the pipeline into the
-        # checkpoint below — acceptable because past the ceiling the
-        # iterative loop dominates and the probe cost is one of its
-        # many passes; the forced-distributed switch skips the probe
-        # entirely.
+        # over-ceiling graph whose TRUE edge count the caller cannot
+        # bound re-executes the pipeline into the checkpoint below —
+        # acceptable because past the ceiling the iterative loop
+        # dominates and the probe cost is one of its many passes; the
+        # forced-distributed switch skips the probe entirely, and
+        # layout-backed callers pass n_edges_bound so the known-big
+        # case never probes.
         pdf = edges_decl.limit(local_max_edges + 1).toPandas()
         if len(pdf) <= local_max_edges:
             return _cc_local_pdf(pdf, pairs.sparkSession), 0

@@ -261,11 +261,27 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index + candidate join + Jaccard verify. Falls back to
     the lazy pipeline for view-backed test dirs (no files to
     fingerprint)."""
+    df, _ = _ngram_pair_graph_ex(spark, sf_dir)
+    return df
+
+
+def _ngram_pair_graph_ex(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int | None]:
+    """_ngram_pair_graph plus the layout's footer row count (None on
+    the view-backed fallback) — a zero-job UPPER BOUND on the
+    canonical edge count that lets connected_components skip its
+    local-tier probe when the graph provably exceeds the cap (r15:
+    the probe's limit(cap+1).toPandas() executed the full edge
+    pipeline once, then the distributed loop's localCheckpoint paid
+    it AGAIN — one wasted full pass exactly on the graphs where the
+    pipeline is most expensive)."""
     import hashlib
     import tempfile
 
     from ..sources.tables import (
         fingerprint_cache_dir,
+        layout_rows,
         prune_layout_variants,
         publish_layout_atomic,
         read_layout,
@@ -277,7 +293,7 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         kd = fingerprint_cache_dir(sf_dir, "ng", "documents")
     except OSError:
-        return build()
+        return build(), None
     deriv = f"k=6;t=0.6;v={_NGRAM_GRAPH_LAYOUT_V}"
     h = hashlib.sha256(f"{kd}|{deriv}".encode()).hexdigest()[:16]
     path = os.path.join(
@@ -288,7 +304,7 @@ def _ngram_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_layout_atomic(
             lambda tmp: build().write.mode("overwrite").parquet(tmp), path
         )
-    return read_layout(spark, path)
+    return read_layout(spark, path), layout_rows(path)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,8 +315,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pair set. Runs CC over the connectivity-equivalent contracted
     pair graph (ngram_jaccard_pair_graph) — identical labels, edge
     count scaling with distinct contents instead of copies — read from
-    the write-once per-fixture layout (_ngram_pair_graph)."""
-    return connected_components(_ngram_pair_graph(spark, sf_dir)).select(
+    the write-once per-fixture layout (_ngram_pair_graph). The
+    layout's footer row count rides along as the CC probe's edge
+    bound (see _ngram_pair_graph_ex)."""
+    graph, n_edges = _ngram_pair_graph_ex(spark, sf_dir)
+    return connected_components(graph, n_edges_bound=n_edges).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
@@ -407,8 +426,9 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, md5 exact-keep, quality gate) over the same parquet."""
     d = _docs(spark, sf_dir)
     keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    graph, n_edges = _ngram_pair_graph_ex(spark, sf_dir)
     dropped = (
-        connected_components(_ngram_pair_graph(spark, sf_dir))
+        connected_components(graph, n_edges_bound=n_edges)
         .where(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"))
     )

@@ -403,8 +403,14 @@ def _exact_quantiles_tiered(
     key: str,
     specs: list[tuple[str, float, str]],
     *,
-    small_max_rows: int = MEDIAN_SMALL_MAX_ROWS,
+    small_max_rows: int | None = None,
 ) -> DataFrame:
+    # read the module global at CALL time (not as a def-time default):
+    # tests monkeypatch relational.MEDIAN_SMALL_MAX_ROWS to force the
+    # at-scale plan, and a def-time binding silently kept the small
+    # exact form under the "at-scale" branch (r14 advisory)
+    if small_max_rows is None:
+        small_max_rows = MEDIAN_SMALL_MAX_ROWS
     if nrows <= small_max_rows:
         return _exact_group_quantiles_small(li, key, specs)
     return _exact_group_quantiles(li, key, specs)

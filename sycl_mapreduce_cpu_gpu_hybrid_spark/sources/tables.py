@@ -260,6 +260,22 @@ def read_layout(spark: SparkSession, path: str) -> DataFrame:
     return per_session[key]
 
 
+def layout_rows(path: str) -> int | None:
+    """Footer row count of a published layout dir — O(files) metadata,
+    zero Spark jobs (the table_rows pattern for layouts). None when
+    the path isn't a readable local parquet dir."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return None
+
+
 def publish_layout_atomic(write_fn, path: str) -> None:
     """Race-safe publication for the write-once layouts (r13
     advisory): the bare check-then-write on _SUCCESS admits two

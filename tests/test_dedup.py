@@ -173,6 +173,33 @@ def test_connected_components_planted(spark):
     }
 
 
+def test_connected_components_edge_bound_skips_probe(spark):
+    """r15: a caller-supplied n_edges_bound above the local-tier cap
+    must skip the probe (whose limit+toPandas would execute the full
+    edge pipeline a first, wasted time) and take the distributed loop
+    directly; a bound at/under the cap keeps the local tier. Labels
+    identical either way (the tier-equality contract)."""
+    from sycl_mapreduce_cpu_gpu_hybrid_spark.operators.dedup import (
+        _connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    # bound > cap: distributed loop runs (rounds > 0)
+    labels_d, rounds_d = _connected_components_star(
+        pairs, local_max_edges=100, n_edges_bound=101
+    )
+    assert rounds_d > 0
+    # bound <= cap: probe runs and the local tier answers (rounds == 0)
+    labels_l, rounds_l = _connected_components_star(
+        pairs, local_max_edges=100, n_edges_bound=3
+    )
+    assert rounds_l == 0
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(labels_d) == rows(labels_l)
+
+
 def test_connected_components_logn_on_deep_chain(spark):
     """Adversarial deep chain: a 10k-edge path graph (the worst case
     for diameter-bound label propagation — it would need 10k rounds)
