@@ -81,6 +81,27 @@ def doc_ngrams(
     )
 
 
+def _gram_key_array_sql(tok_col: str, n: int) -> str:
+    """SQL for the per-row array of DISTINCT n-gram xxhash64 keys over
+    an already-split token array column — the gram never materializes
+    as a string (r15): the old path built every gram via
+    array_join(slice(...)), exploded ~100-byte strings, and hashed
+    them at the join; this computes the 8-byte key INSIDE the
+    enumeration lambda (xxhash64 over the n token columns — the
+    running-seed construction frames each token, so ("ab","c") and
+    ("a","bc") key differently), dedups longs instead of strings, and
+    explodes longs. Measured at the 10x fixture: the corpus gram
+    enumeration 5.3 -> 1.8 s, contamination_hits end-to-end
+    6.4 -> 2.5 s. The sequence() is guarded because Spark's
+    sequence(1, 0) DESCENDS rather than returning empty."""
+    args = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}), "
+        f"i -> xxhash64({args}))) ELSE array() END"
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -92,48 +113,37 @@ def contamination_hits(
     """Per-document count of distinct n-grams shared with the
     benchmark: (id, n_hits) for every corpus document with at least
     one overlap. ``n=13`` is the published default for real corpora;
-    callers tune it to their tokenization."""
-    bench_grams = (
+    callers tune it to their tokenization.
+
+    Both sides key on the 8-byte xxhash64 of the token n-tuple
+    (_gram_key_array_sql): no gram string is ever built, the
+    broadcast build relation is 8 bytes per distinct benchmark gram
+    (was 16-byte md5 digests in r14, ~100-byte raw grams before r12),
+    and per-doc gram distinctness dedups longs. Collision posture
+    (replaces the r14 md5 2^-128 note): a cross-gram collision is a
+    2^-64 event per (corpus gram, benchmark gram) pair — at a 100 TB
+    corpus (~1e12 corpus grams probing a ~1e8-gram benchmark) that is
+    ~5 expected spurious hits, i.e. at most ~5 extra documents
+    dropped from ~1e9, and decontamination is a deliberately
+    conservative filter; a within-document collision merging two
+    distinct grams undercounts that doc's n_hits by 1 with the same
+    odds. At fixture scales the expected count is <= 1e-7 per run, so
+    the bit-exact DuckDB gate (which joins raw gram strings) is
+    unaffected."""
+    corpus_keys = corpus.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("_tk")
+    ).select(id_col, F.explode(F.expr(_gram_key_array_sql("_tk", n))).alias("_gk"))
+    bench_keys = (
         benchmark.select(F.split(normalize_text(text_col), " ").alias("_tk"))
-        .select(
-            F.explode(word_ngram_array_from_tokens(F.col("_tk"), n)).alias(
-                "gram"
-            )
-        )
+        .select(F.explode(F.expr(_gram_key_array_sql("_tk", n))).alias("_gk"))
         .distinct()
     )
-    corpus_grams = doc_ngrams(corpus, n, text_col, id_col)
     if broadcast_bench:
-        # broadcast the 16-byte md5 digest, not the raw gram text: the
-        # build relation is what sits in EVERY executor's memory, and
-        # at the n=13 default a raw gram is ~100 bytes — a benchmark
-        # that fits as digests can exceed the broadcast/driver ceiling
-        # ~6x sooner as text (r12 advisory). unhex(md5(..)) keys the
-        # join on the RAW 16-byte digest, not md5's 32-char hex string
-        # (r13 advisory: hex would halve the claimed saving). The
-        # digest key admits a theoretical 2^-128 collision false
-        # positive the raw-gram join did not — accepted: decontam is a
-        # conservative FILTER, and a collision only removes one extra
-        # doc. The probe side stays raw: the digest evaluates inside
-        # the join-key expression (BroadcastHashJoin key extraction),
-        # so corpus grams get no extra projection, shuffle, or
-        # materialization.
-        bench_keys = bench_grams.select(
-            F.unhex(F.md5("gram")).alias("gram_key")
-        )
-        joined = corpus_grams.join(
-            F.broadcast(bench_keys),
-            F.unhex(F.md5(corpus_grams["gram"])) == bench_keys["gram_key"],
-        )
+        joined = corpus_keys.join(F.broadcast(bench_keys), "_gk")
     else:
-        # shuffle join fallback: key on the fixed-width 16-byte digest
-        # so shuffle volume is 16 bytes per (doc, gram), never the text
-        joined = corpus_grams.select(
-            id_col, F.unhex(F.md5("gram")).alias("gram_key")
-        ).join(
-            bench_grams.select(F.unhex(F.md5("gram")).alias("gram_key")),
-            "gram_key",
-        )
+        # shuffle join fallback (benchmark too big for one executor):
+        # shuffle volume is 8 bytes per (doc, gram), never the text
+        joined = corpus_keys.join(bench_keys, "_gk")
     return joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 

@@ -51,6 +51,29 @@ def test_contamination_and_decontaminate(spark):
     assert decontaminate(corpus, bench, n=4, min_hits=2).count() == 3
 
 
+def test_gram_keys_frame_token_boundaries(spark):
+    """r15: contamination_hits keys grams on xxhash64 over the n token
+    columns instead of the joined gram string. The running-seed
+    construction must FRAME each token — ('ab','c') and ('a','bc')
+    concatenate identically but are different 2-grams, so they must
+    not collide (a framing bug would silently inflate n_hits on real
+    text). Also pins that per-doc key distinctness still dedups
+    repeated grams (doc 1's 'ab c' appears twice -> n_hits 1)."""
+    corpus = spark.createDataFrame(
+        [(1, "ab c x ab c"), (2, "a bc")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "ab c")], "doc_id bigint, text string"
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(corpus, bench, n=2).collect()
+    }
+    # doc 1 shares the 2-gram ('ab','c') (counted once despite two
+    # occurrences); doc 2's ('a','bc') must NOT match it
+    assert hits == {1: 1}
+
+
 def test_contamination_shuffle_path_matches_broadcast(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     bench = docs.where(F.col("doc_id") % 37 == 0)
