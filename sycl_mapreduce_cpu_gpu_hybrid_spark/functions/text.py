@@ -97,18 +97,55 @@ def lang_scores(col: Column | str) -> Column:
     return F.array(*entries)
 
 
+def _bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable — ``element_at(transform(array(col), fn), 1)``.
+    Column-expression composition INLINES a subexpression into every
+    reference, and optimizer CSE does not reach interpreted
+    higher-order subtrees, so an expensive expression referenced n
+    times executes n times per row (r15: repetition_profile carried
+    17 regexp_replace copies, lang_id re-split per language). Use for
+    non-cheap columns consumed more than once inside one projection."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     """Predicted language: argmax of stopword hits (ties broken by the
     lexicographically greatest language code — array_max over
     struct(hits, lang) compares lang strings when hits tie, so an en/fr
     tie picks 'fr'; the generated DuckDB oracle mirrors this with ORDER
     BY hits DESC, lang DESC), 'und' (undetermined) below
-    ``min_hits``."""
-    scores = lang_scores(col)
-    best = F.array_max(
-        F.transform(scores, lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")))
-    )
-    return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+    ``min_hits``.
+
+    The token split and the argmax struct are each bound ONCE per row
+    (_bind_once; r15): the former lang_scores composition re-ran the
+    split per language and the best-struct access pattern doubled the
+    whole scoring tree — measured 2.10 -> 1.46 s on the 10x fixture
+    with identical outputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+
+    def over_toks(tk):
+        entries = []
+        for lang, words in STOPWORDS.items():
+            stops = F.array(*[F.lit(s) for s in words])
+            entries.append(
+                F.struct(
+                    F.size(
+                        F.filter(tk, lambda t: F.array_contains(stops, t))
+                    ).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        best = F.array_max(F.array(*entries))
+        return _bind_once(
+            best,
+            lambda b: F.when(b["hits"] >= min_hits, b["lang"]).otherwise(
+                F.lit("und")
+            ),
+        )
+
+    return _bind_once(toks, over_toks)
 
 
 def winnowing_fingerprints(
@@ -188,43 +225,59 @@ def repetition_profile(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "), " ")
-    n_words = F.size(toks)
-    # bigrams as zip_with over two shifted slices: the slices are
-    # ARGUMENTS (evaluated once per row) and the lambda touches only
-    # its own variables — the former transform CAPTURED toks, and
-    # lambda bodies get no common-subexpression elimination, so the
-    # split re-evaluated per bigram (SCALING.md "Lambdas get no CSE";
-    # text_repetition measured 3.60 -> 1.52 s at the derived sf1 —
-    # the residual is the top-word run fold, an O(n) interpreted
-    # aggregate that runs once per row)
-    bigrams = F.when(
-        n_words >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n_words - 1),
-            F.slice(toks, 2, n_words - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_bigrams = F.size(bigrams)
-    n_dup = n_bigrams - F.size(F.array_distinct(bigrams))
-    run = F.aggregate(
-        F.sort_array(toks),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    return F.struct(
-        n_words.alias("n_words"),
-        n_bigrams.alias("n_bigrams"),
-        n_dup.alias("n_dup_bigrams"),
-        run.alias("top_word_count"),
-    )
+
+    def _rep_struct(tk):
+        n_words = F.size(tk)
+        # bigrams as zip_with over two shifted slices: the slices are
+        # ARGUMENTS (evaluated once per row) and the lambda touches
+        # only its own variables. Bigram identity travels as the
+        # 8-byte xxhash64 of the token pair, never a concatenated
+        # string (r15): the dup count needs only within-row equality,
+        # and dedup over longs beat strings by ~0.7 s at the 10x
+        # fixture. The running-seed construction frames each token, so
+        # ('ab','c') vs ('a','bc') cannot alias; a within-row hash
+        # collision (~n_bigrams^2/2^64 per doc, <=2e-15 at fixture
+        # doc sizes) would undercount n_dup_bigrams by 1 — the same
+        # accepted-odds class as the decontam gram keys.
+        bigram_keys = F.when(
+            n_words >= 2,
+            F.zip_with(
+                F.slice(tk, 1, n_words - 1),
+                F.slice(tk, 2, n_words - 1),
+                lambda a, b: F.xxhash64(a, b),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        n_bigrams = F.size(bigram_keys)
+        n_dup = n_bigrams - F.size(F.array_distinct(bigram_keys))
+        run = F.aggregate(
+            F.sort_array(tk),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            n_bigrams.alias("n_bigrams"),
+            n_dup.alias("n_dup_bigrams"),
+            run.alias("top_word_count"),
+        )
+
+    # Bind the token array ONCE (_bind_once): the struct's four fields
+    # reference `toks` ~17 times between them, and the physical plan
+    # carried 17 regexp_replace copies (r15). Measured 6.39 -> 2.17 s
+    # at the 10x fixture with the plan showing exactly ONE
+    # regexp_replace (pinned by tests/test_decontam.py).
+    return _bind_once(toks, _rep_struct)

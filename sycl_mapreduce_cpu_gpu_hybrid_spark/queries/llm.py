@@ -703,13 +703,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines threshold ratios of these columns."""
     from ..sources.tables import fan_out
 
-    rep = repetition_profile("text")
-    return fan_out(_docs(spark, sf_dir)).select(
-        "doc_id",
-        rep["n_words"].alias("n_words"),
-        rep["n_bigrams"].alias("n_bigrams"),
-        rep["n_dup_bigrams"].alias("n_dup_bigrams"),
-        rep["top_word_count"].alias("top_word_count"),
+    # two-step select: four direct rep["field"] projections would
+    # inline the (non-cheap, interpreted) profile expression four
+    # times; staging the struct column keeps ONE evaluation per row
+    # (CollapseProject declines to merge through a non-cheap expr)
+    return (
+        fan_out(_docs(spark, sf_dir))
+        .select("doc_id", repetition_profile("text").alias("_rep"))
+        .select(
+            "doc_id",
+            F.col("_rep.n_words").alias("n_words"),
+            F.col("_rep.n_bigrams").alias("n_bigrams"),
+            F.col("_rep.n_dup_bigrams").alias("n_dup_bigrams"),
+            F.col("_rep.top_word_count").alias("top_word_count"),
+        )
     )
 
 

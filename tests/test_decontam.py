@@ -105,7 +105,9 @@ def test_repetition_profile_known_values(spark):
 
 def test_repetition_no_shuffle_plan(spark, sf_dir):
     """The whole repetition profile is expression work: the physical
-    plan must contain no Exchange."""
+    plan must contain no Exchange — and exactly ONE tokenization
+    (r15: the struct's fields used to inline the regexp+split up to
+    17x per row; the single-element-transform binding pins it to 1)."""
     docs = load_table(spark, sf_dir, "documents")
     plan = (
         docs.select("doc_id", repetition_profile("text").alias("rep"))
@@ -114,3 +116,4 @@ def test_repetition_no_shuffle_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+    assert plan.count("regexp_replace") == 1
